@@ -1,0 +1,254 @@
+"""Model / pipeline configuration dataclasses with reference-`config.json` round-trip.
+
+The reference persists hyperparameters in a ``config.json`` written by
+``save_model_to_hopsworks_model_registry`` (reference
+``backend/ml/pipelines/training_pipeline.py:682-720``) and re-reads it in
+``load_model_from_hopsworks_model_registry`` (``inference_pipeline.py:67-92``)
+and ``get_model_bundle_pickle`` (``backend/api/views.py:207-213``).  We keep the
+same keys so bundles interoperate both ways.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# 13 CheXpert-style classes, fixed order (reference backend/api/views.py:28-42).
+DISEASES = [
+    "No Finding",
+    "Enlarged Cardiomediastinum",
+    "Cardiomegaly",
+    "Lung Opacity",
+    "Lung Lesion",
+    "Edema",
+    "Consolidation",
+    "Pneumonia",
+    "Atelectasis",
+    "Pneumothorax",
+    "Pleural Effusion",
+    "Pleural Other",
+    "Fracture",
+]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class ImageEncoderConfig:
+    """ResNet-50 tower + projection head (reference training_pipeline.py:157-311)."""
+
+    backbone: str = "resnet50"
+    d_img: int = 1024
+    n_disease: int = 13
+    use_warmup_classifier: bool = True
+    img_size: int = 224
+    resize_size: int = 256
+    mean: tuple[float, ...] = IMAGENET_MEAN
+    std: tuple[float, ...] = IMAGENET_STD
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    feat_dim: int = 2048  # pooled ResNet-50 feature width
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig:
+    """BERT-base tower + masked-mean-pool + projection (reference :348-508)."""
+
+    hf_model_name: str = "bert-base-uncased"
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    d_txt: int = 512
+    n_disease: int = 13
+    use_warmup_classifier: bool = True
+    max_len: int = 96
+    pooling: str = "masked_mean"
+    pad_token_id: int = 0
+
+
+@dataclass(frozen=True)
+class ReportDecoderConfig:
+    """T5-small conditional generator (reference :516-618).
+
+    Matches HF t5-small architecture: 6+6 layers, d_model 512, relative position
+    bias, RMSNorm, ReLU FFN, tied embeddings with d_model**-0.5 output scaling.
+    """
+
+    hf_model_name: str = "t5-small"
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 6
+    num_decoder_layers: int = 6
+    num_heads: int = 8
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    dropout: float = 0.1
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+    tie_word_embeddings: bool = True
+    feed_forward_proj: str = "relu"
+    max_report_len: int = 256
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Late-fusion MLP + disease head + conditioning projection (reference :516-558)."""
+
+    d_img: int = 1024
+    d_txt: int = 512
+    d_fuse_hidden: int = 1024
+    n_disease: int = 13
+    n_cond_tokens: int = 4
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Beam-search settings (reference inference_pipeline.py:190)."""
+
+    max_new_tokens: int = 180
+    min_new_tokens: int = 150
+    num_beams: int = 4
+    no_repeat_ngram_size: int = 3
+    length_penalty: float = 1.1
+    early_stopping: bool = True
+    eos_token_id: int = 1
+    pad_token_id: int = 0
+    decoder_start_token_id: int = 0
+
+
+@dataclass(frozen=True)
+class DiagnosisConfig:
+    """Full flagship model config: image + text towers, fusion, report decoder."""
+
+    image: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    report: ReportDecoderConfig = field(default_factory=ReportDecoderConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    class_names: tuple[str, ...] = tuple(DISEASES)
+    thresholds: tuple[float, ...] = tuple([0.5] * 13)
+
+    # ------------------------------------------------------------------
+    # reference config.json round trip
+    # ------------------------------------------------------------------
+    def to_reference_json(self) -> dict[str, Any]:
+        """Serialize into the reference's config.json schema
+        (training_pipeline.py:682-720)."""
+        return {
+            "fusion": {
+                "d_img": self.fusion.d_img,
+                "d_txt": self.fusion.d_txt,
+                "d_fuse_hidden": self.fusion.d_fuse_hidden,
+                "n_disease": self.fusion.n_disease,
+                "n_cond_tokens": self.fusion.n_cond_tokens,
+                "decoder_hidden": self.report.d_model,
+            },
+            "report_head": {"hf_model_name": self.report.hf_model_name},
+            "text_encoder": {
+                "hf_model_name": self.text.hf_model_name,
+                "d_txt": self.text.d_txt,
+                "pooling": self.text.pooling,
+                "max_len": self.text.max_len,
+            },
+            "image_encoder": {
+                "backbone": self.image.backbone,
+                "d_img": self.image.d_img,
+                "img_size": self.image.img_size,
+                "normalize": {"mean": list(self.image.mean), "std": list(self.image.std)},
+            },
+            "artifacts": {
+                "class_names": list(self.class_names),
+                "thresholds": list(self.thresholds),
+            },
+            "notes": "Fusion MLP + disease head (BCEWithLogits) + T5 report head (CE).",
+        }
+
+    @classmethod
+    def from_reference_json(cls, cfg: dict[str, Any]) -> "DiagnosisConfig":
+        """Rebuild from a reference config.json dict (with reference fallbacks,
+        see views.py:207-213 — note we use the serving-path fallback d_txt=512,
+        not the registry path's buggy 1024 fallback at inference_pipeline.py:74)."""
+        f = cfg.get("fusion") or {}
+        te = cfg.get("text_encoder") or {}
+        ie = cfg.get("image_encoder") or {}
+        rh = cfg.get("report_head") or {}
+        art = cfg.get("artifacts") or {}
+        d_img = f.get("d_img", 1024)
+        d_txt = f.get("d_txt", 512)
+        n_disease = f.get("n_disease", 13)
+        norm = ie.get("normalize") or {}
+        fusion = FusionConfig(
+            d_img=d_img,
+            d_txt=d_txt,
+            d_fuse_hidden=f.get("d_fuse_hidden", 1024),
+            n_disease=n_disease,
+            n_cond_tokens=f.get("n_cond_tokens", 4),
+        )
+        image = ImageEncoderConfig(
+            backbone=ie.get("backbone", "resnet50"),
+            d_img=d_img,
+            n_disease=n_disease,
+            img_size=ie.get("img_size", 224),
+            mean=tuple(norm.get("mean", IMAGENET_MEAN)),
+            std=tuple(norm.get("std", IMAGENET_STD)),
+        )
+        text = TextEncoderConfig(
+            hf_model_name=te.get("hf_model_name", "bert-base-uncased"),
+            d_txt=d_txt,
+            n_disease=n_disease,
+            max_len=te.get("max_len", 96),
+            pooling=te.get("pooling", "masked_mean"),
+        )
+        report = ReportDecoderConfig(
+            hf_model_name=rh.get("hf_model_name", "t5-small"),
+            d_model=f.get("decoder_hidden", 512) or 512,
+        )
+        class_names = tuple(art.get("class_names", DISEASES))
+        thresholds = tuple(art.get("thresholds", [0.5] * n_disease))
+        return cls(
+            image=image,
+            text=text,
+            fusion=fusion,
+            report=report,
+            class_names=class_names,
+            thresholds=thresholds,
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DiagnosisConfig":
+        raw = json.loads(s)
+
+        def _mk(klass, d):
+            fields = {f.name for f in dataclasses.fields(klass)}
+            kw = {}
+            for k, v in d.items():
+                if k in fields:
+                    kw[k] = tuple(v) if isinstance(v, list) else v
+            return klass(**kw)
+
+        return cls(
+            image=_mk(ImageEncoderConfig, raw.get("image", {})),
+            text=_mk(TextEncoderConfig, raw.get("text", {})),
+            fusion=_mk(FusionConfig, raw.get("fusion", {})),
+            report=_mk(ReportDecoderConfig, raw.get("report", {})),
+            generation=_mk(GenerationConfig, raw.get("generation", {})),
+            class_names=tuple(raw.get("class_names", DISEASES)),
+            thresholds=tuple(raw.get("thresholds", [0.5] * 13)),
+        )

@@ -1,0 +1,50 @@
+"""Image decode helpers (host side).
+
+The reference decodes uploads/S3 blobs with PIL (reference
+``backend/api/views.py:70``, ``training_pipeline.py:146``).  We decode to numpy
+uint8 and keep grayscale as a single channel so the preprocessing pipeline can
+replicate the reference's grayscale->3ch repeat (``training_pipeline.py:116``).
+"""
+from __future__ import annotations
+
+import io
+from typing import Union
+
+import numpy as np
+
+from PIL import Image
+
+
+def decode_image(src: Union[bytes, bytearray, "Image.Image", np.ndarray]) -> np.ndarray:
+    """Decode to uint8 [H, W] (grayscale) or [H, W, 3] (color)."""
+    if isinstance(src, np.ndarray):
+        assert src.dtype == np.uint8
+        return src
+    if isinstance(src, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(src))
+    else:
+        img = src
+    if img.mode == "L":
+        return np.asarray(img, dtype=np.uint8)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def to_canonical_u8(img: np.ndarray, size: int = 512) -> np.ndarray:
+    """Letterbox-free canonicalization for fixed-shape device preprocessing.
+
+    Serving batches require a static input shape. Images whose raw size differs
+    from the canonical decode size are first resized host-side (PIL-exact) so
+    the on-device fused resize+crop sees one shape. Grayscale stays 1-channel.
+    """
+    from mmdx_tpu.ops import resize as R
+
+    h, w = img.shape[:2]
+    if (h, w) == (size, size):
+        out = img
+    else:
+        out = R.resize_u8_exact(img, size, size)
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
