@@ -1,0 +1,157 @@
+"""ResNet-50 image tower in flax (NHWC, TPU-native), torchvision-graph-equivalent.
+
+Rebuilds the capability of the reference's ``ImageEncoderCNN`` (reference
+``backend/ml/pipelines/training_pipeline.py:157-311``): a ResNet-50 backbone
+with the classification fc removed, global average pooling, a projection head
+``Linear(2048 -> d_img)`` and an optional warm-up classifier
+``Linear(d_img -> n_disease)``.
+
+TPU-first choices:
+  * NHWC activations / HWIO kernels (XLA's native TPU conv layout).
+  * BatchNorm in inference mode folds to scale+shift; XLA fuses it into the
+    preceding conv's epilogue.
+  * Freeze/unfreeze phases are not module state (torch ``requires_grad``) but
+    functional: the training pipeline masks optimizer updates (optax) and
+    chooses whether batch stats update — see pipelines/training_pipeline.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdx_tpu.config import ImageEncoderConfig
+
+# Bottleneck counts per stage for resnet50 (stage widths 256/512/1024/2048).
+RESNET50_STAGES = (3, 4, 6, 3)
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, identity shortcut."""
+
+    width: int  # bottleneck width (out channels = 4 * width)
+    stride: int = 1
+    use_projection: bool = False
+    bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
+    bn_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        shortcut = x
+        if self.use_projection:
+            shortcut = nn.Conv(
+                self.width * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            shortcut = bn("downsample_bn")(shortcut)
+
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(
+            self.width, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(self.width * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = bn("bn3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 feature extractor: NHWC in, pooled [B, 2048] features out."""
+
+    stage_sizes: Sequence[int] = RESNET50_STAGES
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv_stem",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=self.bn_eps, dtype=self.dtype, name="bn_stem",
+        )(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(kernel=3, stride=2, padding=1): pad with -inf then max
+        x = jnp.pad(
+            x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            width = 64 * (2**stage)
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(
+                    width=width,
+                    stride=stride,
+                    use_projection=(block == 0),
+                    bn_momentum=self.bn_momentum,
+                    bn_eps=self.bn_eps,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{block}",
+                )(x, train=train)
+
+        # global average pool (torch AdaptiveAvgPool2d(1) + flatten)
+        return jnp.mean(x, axis=(1, 2))  # [B, 2048]
+
+
+class ImageEncoder(nn.Module):
+    """ResNet-50 backbone + projection + optional warm-up classifier.
+
+    ``__call__`` mirrors reference ``ImageEncoderCNN.forward`` (:306-311):
+    returns {"embeddings": [B, d_img], "logits": [B, n_disease]?}.
+    """
+
+    config: ImageEncoderConfig = ImageEncoderConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50(
+            bn_momentum=1.0 - self.config.bn_momentum,
+            bn_eps=self.config.bn_eps,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        self.proj = nn.Dense(self.config.d_img, dtype=self.dtype, name="proj")
+        if self.config.use_warmup_classifier:
+            self.classifier = nn.Dense(
+                self.config.n_disease, dtype=self.dtype, name="classifier"
+            )
+
+    def encode(self, images, train: bool = False):
+        """NHWC images -> [B, d_img] embeddings (reference encode, :291-302)."""
+        feats = self.backbone(images, train=train)
+        return self.proj(feats.astype(self.dtype))
+
+    def __call__(self, images, train: bool = False):
+        z = self.encode(images, train=train)
+        out = {"embeddings": z}
+        if self.config.use_warmup_classifier:
+            out["logits"] = self.classifier(z)
+        return out
+
+
+def init_image_encoder(rng: jax.Array, config: ImageEncoderConfig | None = None):
+    """Initialize variables ({'params', 'batch_stats'}) for the image tower."""
+    config = config or ImageEncoderConfig()
+    model = ImageEncoder(config=config)
+    dummy = jnp.zeros((1, config.img_size, config.img_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables

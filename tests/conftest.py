@@ -19,6 +19,12 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+import jax
+
+# The axon sitecustomize forces jax_platforms="axon,cpu"; override back to the
+# virtual 8-device CPU mesh for tests (must run before backend initialization).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
