@@ -1,0 +1,151 @@
+"""BERT-base text tower in flax (TPU-native attention via einsum/XLA fusion).
+
+Rebuilds the capability of the reference's ``TextEncoderTransformer`` (reference
+``backend/ml/pipelines/training_pipeline.py:348-508``): a BERT-base-uncased
+backbone, masked mean pooling over the last hidden state, a projection
+``Linear(768 -> d_txt)`` and an optional warm-up classifier.
+
+Architecture matches HF ``BertModel``: learned absolute positions, post-LN
+blocks, exact (erf) GELU, LayerNorm eps 1e-12.  Sequences are padded to a fixed
+``max_len`` (96 in the reference) so everything is static-shape under jit.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdx_tpu.config import TextEncoderConfig
+from mmdx_tpu.ops.pooling import masked_mean_pool
+
+NEG_INF = -1e9
+
+
+class BertLayer(nn.Module):
+    config: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic: bool = True):
+        cfg = self.config
+        h = cfg.hidden_size
+        n_heads = cfg.num_heads
+        head_dim = h // n_heads
+        dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
+
+        q = dense(h, "attn_q")(hidden)
+        k = dense(h, "attn_k")(hidden)
+        v = dense(h, "attn_v")(hidden)
+
+        def split(x):  # [B,L,H] -> [B,heads,L,hd]
+            b, l, _ = x.shape
+            return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        scores = scores + attention_bias  # [B,1,1,L] additive mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+        b, _, l, _ = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h).astype(self.dtype)
+
+        attn_out = dense(h, "attn_out")(ctx)
+        attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_ln")(
+            hidden + attn_out
+        )
+
+        ffn = dense(cfg.intermediate_size, "ffn_in")(hidden)
+        ffn = jax.nn.gelu(ffn, approximate=False)
+        ffn = dense(h, "ffn_out")(ffn)
+        ffn = nn.Dropout(cfg.hidden_dropout)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_ln")(
+            hidden + ffn
+        )
+
+
+class BertEncoder(nn.Module):
+    """HF-BertModel-equivalent encoder returning the last hidden state."""
+
+    config: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None, deterministic=True):
+        cfg = self.config
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        positions = jnp.arange(l)[None, :]
+
+        emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word_embeddings")(
+            input_ids
+        )
+        emb += nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype,
+            name="position_embeddings",
+        )(positions)
+        emb += nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+            name="token_type_embeddings",
+        )(token_type_ids)
+        emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln")(emb)
+        hidden = nn.Dropout(cfg.hidden_dropout)(emb, deterministic=deterministic)
+
+        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        for i in range(cfg.num_layers):
+            hidden = BertLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+                hidden, bias, deterministic=deterministic
+            )
+        # HF pooler (tanh over [CLS]) exists in checkpoints; materialize it so
+        # state round-trips, though the masked-mean-pool path doesn't use it.
+        self.sow(
+            "intermediates",
+            "pooled_cls",
+            jnp.tanh(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pooler")(hidden[:, 0])),
+        )
+        return hidden  # [B, L, H]
+
+
+class TextEncoder(nn.Module):
+    """BERT backbone + masked mean pool + projection + warm-up classifier.
+
+    ``__call__`` mirrors reference ``TextEncoderTransformer.forward`` (:503-508):
+    returns {"embeddings": [B, d_txt], "logits": [B, n_disease]?}.
+    """
+
+    config: TextEncoderConfig = TextEncoderConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.bert = BertEncoder(self.config, dtype=self.dtype, name="bert")
+        self.proj = nn.Dense(self.config.d_txt, dtype=self.dtype, name="proj")
+        if self.config.use_warmup_classifier:
+            self.classifier = nn.Dense(
+                self.config.n_disease, dtype=self.dtype, name="classifier"
+            )
+
+    def encode(self, input_ids, attention_mask, token_type_ids=None, deterministic=True):
+        hidden = self.bert(input_ids, attention_mask, token_type_ids, deterministic)
+        pooled = masked_mean_pool(hidden, attention_mask)
+        return self.proj(pooled)
+
+    def __call__(self, input_ids, attention_mask, token_type_ids=None, deterministic=True):
+        z = self.encode(input_ids, attention_mask, token_type_ids, deterministic)
+        out = {"embeddings": z}
+        if self.config.use_warmup_classifier:
+            out["logits"] = self.classifier(z)
+        return out
+
+
+def init_text_encoder(rng: jax.Array, config: TextEncoderConfig | None = None):
+    config = config or TextEncoderConfig()
+    model = TextEncoder(config=config)
+    dummy_ids = jnp.zeros((1, config.max_len), jnp.int32)
+    dummy_mask = jnp.ones((1, config.max_len), jnp.int32)
+    variables = model.init(rng, dummy_ids, dummy_mask)
+    return model, variables
