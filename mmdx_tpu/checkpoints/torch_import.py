@@ -192,34 +192,29 @@ def import_hf_t5(sd: Mapping[str, Any], prefix: str = "", num_layers: int = 6) -
             "o": lin_nb(f"{t}.o"),
         }
 
-    p: dict[str, Any] = {"shared": {"embedding": g("shared.weight")}}
-
-    enc: dict[str, Any] = {
-        "rel_bias": {
+    p: dict[str, Any] = {
+        "shared": {"embedding": g("shared.weight")},
+        "encoder_rel_bias": {
             "embedding": g("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
         },
-        "final_ln": rms("encoder.final_layer_norm"),
+        "decoder_rel_bias": {
+            "embedding": g("decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+        },
+        "encoder_final_ln": rms("encoder.final_layer_norm"),
+        "decoder_final_ln": rms("decoder.final_layer_norm"),
     }
     for i in range(num_layers):
         t = f"encoder.block.{i}.layer"
-        enc[f"layer{i}"] = {
+        p[f"encoder_layer{i}"] = {
             "self_attn": attn(f"{t}.0.SelfAttention"),
             "self_ln": rms(f"{t}.0.layer_norm"),
             "ffn_wi": lin_nb(f"{t}.1.DenseReluDense.wi"),
             "ffn_wo": lin_nb(f"{t}.1.DenseReluDense.wo"),
             "ffn_ln": rms(f"{t}.1.layer_norm"),
         }
-    p["encoder"] = enc
-
-    dec: dict[str, Any] = {
-        "rel_bias": {
-            "embedding": g("decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
-        },
-        "final_ln": rms("decoder.final_layer_norm"),
-    }
     for i in range(num_layers):
         t = f"decoder.block.{i}.layer"
-        dec[f"layer{i}"] = {
+        p[f"decoder_layer{i}"] = {
             "self_attn": attn(f"{t}.0.SelfAttention"),
             "self_ln": rms(f"{t}.0.layer_norm"),
             "cross_attn": attn(f"{t}.1.EncDecAttention"),
@@ -228,8 +223,6 @@ def import_hf_t5(sd: Mapping[str, Any], prefix: str = "", num_layers: int = 6) -
             "ffn_wo": lin_nb(f"{t}.2.DenseReluDense.wo"),
             "ffn_ln": rms(f"{t}.2.layer_norm"),
         }
-    p["decoder"] = dec
-
     if prefix + "lm_head.weight" in sd:
         p["lm_head"] = {"kernel": _dense(g("lm_head.weight"))}
     return p

@@ -1,0 +1,358 @@
+"""T5 encoder-decoder (t5-small architecture) in flax, with KV-cached decoding.
+
+Rebuilds the report-generation head the reference delegates to HF
+``T5ForConditionalGeneration`` (reference ``backend/ml/pipelines/
+training_pipeline.py:545-618``).  In the fusion model the decoder is
+conditioned on K synthetic "encoder output" tokens produced from the fused
+embedding (``_make_encoder_outputs``, :574-578); the T5 encoder stack is still
+implemented (and its weights round-trip) because the reference's checkpoints
+contain it.
+
+Matches HF semantics: RMSNorm (no mean subtraction, fp32 accumulation),
+relative position bias only from each stack's first block (shared thereafter),
+unscaled dot-product attention, ReLU FFN, tied lm_head with d_model**-0.5
+output scaling, decoder_start_token_id == pad == 0.
+
+TPU-first: everything is static-shape; incremental decoding uses an explicit
+KV-cache pytree (easy to reorder for beam search inside ``lax.while_loop``).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdx_tpu.config import ReportDecoderConfig
+
+NEG_INF = -1e9
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray,
+    bidirectional: bool,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> jnp.ndarray:
+    """HF T5 bucketing of (key_pos - query_pos) into relative-attention buckets."""
+    ret = jnp.zeros_like(relative_position)
+    n = relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def compute_position_bias(
+    rel_embedding: jnp.ndarray,  # [num_buckets, heads]
+    q_len: int,
+    k_len: int,
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jnp.ndarray:
+    """[1, heads, q_len, k_len] additive attention bias."""
+    ctx = jnp.arange(q_len)[:, None]
+    mem = jnp.arange(k_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx, bidirectional, num_buckets, max_distance
+    )  # [q,k]
+    bias = rel_embedding[buckets]  # [q,k,heads]
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+class RMSNorm(nn.Module):
+    """T5LayerNorm: no mean subtraction, no bias, fp32 variance accumulation."""
+
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (scale * y.astype(self.dtype)).astype(self.dtype)
+
+
+class T5Attention(nn.Module):
+    """Unscaled multi-head attention with optional additive position bias."""
+
+    config: ReportDecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        inner = cfg.num_heads * cfg.d_kv
+        dense = lambda name: nn.Dense(inner, use_bias=False, dtype=self.dtype, name=name)
+        self.q = dense("q")
+        self.k = dense("k")
+        self.v = dense("v")
+        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="o")
+
+    def _split(self, x):
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.config.num_heads, self.config.d_kv).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    def __call__(self, hidden, kv_hidden, bias):
+        """hidden [B,Lq,D], kv_hidden [B,Lk,D], bias [*,heads,Lq,Lk] additive."""
+        q = self._split(self.q(hidden))
+        k = self._split(self.k(kv_hidden))
+        v = self._split(self.v(kv_hidden))
+        return self.o(self._merge(self.attend(q, k, v, bias)))
+
+    def attend(self, q, k, v, bias):
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(
+            self.dtype
+        )
+
+    # ---- incremental decode helpers (explicit cache) ----
+    def project_kv(self, kv_hidden):
+        return self._split(self.k(kv_hidden)), self._split(self.v(kv_hidden))
+
+    def step(self, hidden_tok, cache_k, cache_v, pos, bias_row):
+        """One-token self-attention step.
+
+        hidden_tok: [B,1,D]; cache_{k,v}: [B,heads,Lmax,d_kv] (updated at pos);
+        bias_row: [1,heads,1,Lmax] additive bias+causal mask for query at pos.
+        Returns (out [B,1,D], cache_k, cache_v).
+        """
+        q = self._split(self.q(hidden_tok))  # [B,h,1,d]
+        k_new = self._split(self.k(hidden_tok))
+        v_new = self._split(self.v(hidden_tok))
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos, axis=2)
+        out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
+        return self.o(out), cache_k, cache_v
+
+
+class T5FFN(nn.Module):
+    config: ReportDecoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="wo")(h)
+
+
+class T5EncoderLayer(nn.Module):
+    config: ReportDecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.self_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="self_ln")
+        self.self_attn = T5Attention(cfg, self.dtype, name="self_attn")
+        self.ffn_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="ffn_ln")
+        self.ffn_wi = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="ffn_wi")
+        self.ffn_wo = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="ffn_wo")
+
+    def __call__(self, hidden, bias, deterministic=True):
+        y = self.self_ln(hidden)
+        hidden = hidden + self.self_attn(y, y, bias)
+        y = self.ffn_ln(hidden)
+        hidden = hidden + self.ffn_wo(nn.relu(self.ffn_wi(y)))
+        return hidden
+
+
+class T5DecoderLayer(nn.Module):
+    config: ReportDecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.self_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="self_ln")
+        self.self_attn = T5Attention(cfg, self.dtype, name="self_attn")
+        self.cross_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="cross_ln")
+        self.cross_attn = T5Attention(cfg, self.dtype, name="cross_attn")
+        self.ffn_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="ffn_ln")
+        self.ffn_wi = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="ffn_wi")
+        self.ffn_wo = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="ffn_wo")
+
+    def __call__(self, hidden, self_bias, enc_hidden, enc_bias, deterministic=True):
+        y = self.self_ln(hidden)
+        hidden = hidden + self.self_attn(y, y, self_bias)
+        y = self.cross_ln(hidden)
+        hidden = hidden + self.cross_attn(y, enc_hidden, enc_bias)
+        y = self.ffn_ln(hidden)
+        hidden = hidden + self.ffn_wo(nn.relu(self.ffn_wi(y)))
+        return hidden
+
+    def step(self, hidden_tok, cache, pos, self_bias_row, enc_bias):
+        """One-token decode step; cache = {k, v, ck, cv} for this layer."""
+        y = self.self_ln(hidden_tok)
+        attn, ck_, cv_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
+        hidden_tok = hidden_tok + attn
+        y = self.cross_ln(hidden_tok)
+        q = self.cross_attn._split(self.cross_attn.q(y))
+        ctx = self.cross_attn.attend(q, cache["ck"], cache["cv"], enc_bias)
+        hidden_tok = hidden_tok + self.cross_attn.o(self.cross_attn._merge(ctx))
+        y = self.ffn_ln(hidden_tok)
+        hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
+        return hidden_tok, {"k": ck_, "v": cv_, "ck": cache["ck"], "cv": cache["cv"]}
+
+
+class T5(nn.Module):
+    """Full seq2seq model over explicit encoder outputs.
+
+    Methods (use with ``model.apply(variables, ..., method=T5.<method>)``):
+      encode              encoder stack over token ids
+      decode              teacher-forced decoder -> logits [B,L,V]
+      init_cache          build the KV-cache pytree for incremental decode
+      decode_step         one-token decode -> (logits [B,V], cache)
+    """
+
+    config: ReportDecoderConfig = ReportDecoderConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
+        self.enc_rel_bias = nn.Embed(
+            cfg.relative_attention_num_buckets, cfg.num_heads, name="encoder_rel_bias"
+        )
+        self.dec_rel_bias = nn.Embed(
+            cfg.relative_attention_num_buckets, cfg.num_heads, name="decoder_rel_bias"
+        )
+        self.encoder_layers = [
+            T5EncoderLayer(cfg, self.dtype, name=f"encoder_layer{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.decoder_layers = [
+            T5DecoderLayer(cfg, self.dtype, name=f"decoder_layer{i}")
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.encoder_final_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="encoder_final_ln")
+        self.decoder_final_ln = RMSNorm(cfg.layer_norm_eps, self.dtype, name="decoder_final_ln")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
+            )
+
+    # ------------------------------------------------------------------
+    def encode(self, input_ids, attention_mask):
+        cfg = self.config
+        hidden = self.shared(input_ids)
+        bias = compute_position_bias(
+            self.enc_rel_bias.embedding,
+            input_ids.shape[1],
+            input_ids.shape[1],
+            bidirectional=True,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        bias = bias + (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        for layer in self.encoder_layers:
+            hidden = layer(hidden, bias)
+        return self.encoder_final_ln(hidden)
+
+    def _lm_logits(self, hidden):
+        cfg = self.config
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model**-0.5)
+            return jnp.einsum(
+                "bld,vd->blv", hidden, self.shared.embedding, preferred_element_type=jnp.float32
+            )
+        return self.lm_head(hidden)
+
+    def decode(self, decoder_input_ids, encoder_hidden, encoder_mask):
+        """Teacher-forced decode -> logits [B, L, vocab].
+
+        Decoder self-attention is causal over the full length (HF default when
+        no decoder_attention_mask is passed, matching the reference training,
+        training_pipeline.py:600-604).
+        """
+        cfg = self.config
+        l = decoder_input_ids.shape[1]
+        hidden = self.shared(decoder_input_ids)
+        self_bias = compute_position_bias(
+            self.dec_rel_bias.embedding,
+            l,
+            l,
+            bidirectional=False,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        causal = jnp.tril(jnp.ones((l, l), jnp.float32))
+        self_bias = self_bias + (1.0 - causal)[None, None] * NEG_INF
+        enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        for layer in self.decoder_layers:
+            hidden = layer(hidden, self_bias, encoder_hidden, enc_bias)
+        hidden = self.decoder_final_ln(hidden)
+        return self._lm_logits(hidden)
+
+    # ------------------------------------------------------------------
+    def init_cache(self, batch: int, max_len: int, encoder_hidden):
+        """Build the explicit decode cache: per-layer self-attn K/V buffers plus
+        precomputed cross-attention K/V over the encoder outputs."""
+        cfg = self.config
+        cache = []
+        for layer in self.decoder_layers:
+            ck, cv = layer.cross_attn.project_kv(encoder_hidden)
+            zeros = jnp.zeros((batch, cfg.num_heads, max_len, cfg.d_kv), self.dtype)
+            cache.append({"k": zeros, "v": zeros, "ck": ck, "cv": cv})
+        return cache
+
+    def decode_self_bias(self, max_len: int):
+        """Full causal position bias [1, heads, max_len, max_len] precomputed
+        once per generation; decode_step slices the query row it needs."""
+        cfg = self.config
+        bias = compute_position_bias(
+            self.dec_rel_bias.embedding,
+            max_len,
+            max_len,
+            bidirectional=False,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        causal = jnp.tril(jnp.ones((max_len, max_len), jnp.float32))
+        return bias + (1.0 - causal)[None, None] * NEG_INF
+
+    def decode_step(self, token_ids, pos, cache, self_bias_full, encoder_mask):
+        """token_ids [B,1] at position ``pos`` -> (logits [B,vocab], new cache)."""
+        hidden = self.shared(token_ids)  # [B,1,D]
+        bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)  # [1,h,1,Lmax]
+        enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        new_cache = []
+        for layer, layer_cache in zip(self.decoder_layers, cache):
+            hidden, lc = layer.step(hidden, layer_cache, pos, bias_row, enc_bias)
+            new_cache.append(lc)
+        hidden = self.decoder_final_ln(hidden)
+        return self._lm_logits(hidden)[:, 0], new_cache
+
+    def __call__(self, input_ids, attention_mask, decoder_input_ids):
+        enc = self.encode(input_ids, attention_mask)
+        return self.decode(decoder_input_ids, enc, attention_mask)
+
+
+def shift_right(labels: jnp.ndarray, decoder_start_token_id: int = 0, pad_id: int = 0):
+    """HF _shift_right: prepend start token, drop last, map -100 -> pad."""
+    shifted = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), decoder_start_token_id, labels.dtype), labels[:, :-1]],
+        axis=1,
+    )
+    return jnp.where(shifted == -100, pad_id, shifted)
