@@ -1,0 +1,233 @@
+"""Fixed-shape beam search as a single ``lax.while_loop`` — the TPU-native
+replacement for HF's host-side python ``generate`` loop (the reference's
+dominant serving hot loop: ``num_beams=4``, 150-180 sequential decoder steps,
+reference inference_pipeline.py:190, training_pipeline.py:613-618).
+
+Semantics replicate the tensorized beam search of transformers>=4.50
+(``GenerationMixin._beam_search`` + helpers), verified token-for-token in
+tests/test_decode_parity.py:
+  * min-new-tokens eos masking and no-repeat-ngram logprob bans
+  * 2*num_beams candidates per step; only the top num_beams may finalize
+  * a candidate finalizes when it emits eos OR hits max length (its final
+    token included), scored ``sum_logprobs / num_generated**length_penalty``
+  * fixed-capacity hypothesis buffer updated by merge-topk (worst replaced)
+  * sticky early-stop heuristic on the best *running* beam score
+  * ``early_stopping`` True/False/"never"; HF's output fill-value quirk
+    (``pad_token_id or eos_token_id``)
+
+The model is abstracted as ``step_fn(tokens [N,1], pos, cache) -> (logits [N,V],
+cache)`` over a flat batch N = B * num_beams; the KV cache is an arbitrary
+pytree with leading dim N (reordered by beam gather each step).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mmdx_tpu.config import GenerationConfig
+from mmdx_tpu.decode.ngram import ban_repeated_ngrams
+
+NEG = jnp.float32(-1e9)
+
+
+class BeamState(NamedTuple):
+    cur_len: jnp.ndarray  # scalar int32: tokens in seqs so far (incl. start)
+    seqs: jnp.ndarray  # [B, nb, Lmax] running beams
+    beam_scores: jnp.ndarray  # [B, nb] running accumulated logprobs
+    cache: Any
+    fin_seqs: jnp.ndarray  # [B, nb, Lmax] finished hypotheses
+    fin_scores: jnp.ndarray  # [B, nb] length-penalized
+    fin_lens: jnp.ndarray  # [B, nb]
+    n_fin: jnp.ndarray  # [B]
+    heuristic_ok: jnp.ndarray  # [B] sticky improvement-possible flag
+
+
+def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_insert):
+    """Insert one hypothesis per batch row into the fixed-capacity buffer
+    (equivalent to HF's merge-topk: fill a free slot, else replace the worst)."""
+    nb = fin_scores.shape[-1]
+    worst = jnp.argmin(fin_scores, axis=-1)  # [B]
+    full = n_fin >= nb
+    better = score > jnp.take_along_axis(fin_scores, worst[:, None], axis=1)[:, 0]
+    slot = jnp.where(full, worst, jnp.minimum(n_fin, nb - 1))
+    do = do_insert & (~full | better)
+
+    onehot = jax.nn.one_hot(slot, nb, dtype=jnp.bool_) & do[:, None]  # [B, nb]
+    fin_scores = jnp.where(onehot, score[:, None], fin_scores)
+    fin_lens = jnp.where(onehot, length[:, None], fin_lens)
+    fin_seqs = jnp.where(onehot[..., None], seq[:, None, :], fin_seqs)
+    n_fin = n_fin + (do & ~full).astype(n_fin.dtype)
+    return fin_seqs, fin_scores, fin_lens, n_fin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_fn", "batch", "num_beams", "vocab_size", "max_new_tokens",
+        "min_new_tokens", "no_repeat_ngram_size", "length_penalty",
+        "early_stopping", "eos_token_id", "pad_token_id",
+        "decoder_start_token_id",
+    ),
+)
+def beam_search(
+    step_fn: Callable,
+    init_cache: Any,
+    *,
+    batch: int,
+    vocab_size: int,
+    num_beams: int = 4,
+    max_new_tokens: int = 180,
+    min_new_tokens: int = 150,
+    no_repeat_ngram_size: int = 3,
+    length_penalty: float = 1.1,
+    early_stopping: bool | str = True,
+    eos_token_id: int = 1,
+    pad_token_id: int = 0,
+    decoder_start_token_id: int = 0,
+):
+    """Run beam search; returns (sequences [B, 1+max_new_tokens], scores [B]).
+
+    Output rows: start token + generated tokens (eos included if emitted),
+    filled with HF's output fill value (``pad_token_id or eos_token_id``).
+    ``init_cache`` must have leading dim B*num_beams on every leaf.
+    """
+    b, nb, v = batch, num_beams, vocab_size
+    lmax = 1 + max_new_tokens  # max total length incl. decoder start
+    min_len = 1 + min_new_tokens
+    n = b * nb
+    es_true = early_stopping is True
+    fill_value = pad_token_id if pad_token_id else eos_token_id  # HF quirk
+
+    seqs = jnp.full((b, nb, lmax), fill_value, jnp.int32)
+    seqs = seqs.at[:, :, 0].set(decoder_start_token_id)
+    beam_scores = jnp.zeros((b, nb), jnp.float32).at[:, 1:].set(NEG)
+
+    state = BeamState(
+        cur_len=jnp.asarray(1, jnp.int32),
+        seqs=seqs,
+        beam_scores=beam_scores,
+        cache=init_cache,
+        fin_seqs=jnp.full((b, nb, lmax), fill_value, jnp.int32),
+        fin_scores=jnp.full((b, nb), NEG, jnp.float32),
+        fin_lens=jnp.ones((b, nb), jnp.int32),
+        n_fin=jnp.zeros((b,), jnp.int32),
+        heuristic_ok=jnp.ones((b,), jnp.bool_),
+    )
+
+    def cond(s: BeamState):
+        full = s.n_fin >= nb
+        open_beams = ~(jnp.all(full) & es_true)
+        return (s.cur_len < lmax) & jnp.any(s.heuristic_ok) & open_beams
+
+    def body(s: BeamState) -> BeamState:
+        cur = s.cur_len
+        batch_full = s.n_fin >= nb  # evaluated before this step's inserts (HF order)
+        frozen = (batch_full & es_true) | ~s.heuristic_ok  # no further output effect
+
+        last_tok = jnp.take_along_axis(
+            s.seqs, jnp.broadcast_to((cur - 1)[None, None, None], (b, nb, 1)), axis=2
+        )
+        logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [N,V]
+
+        # min-length: mask eos while generated < min_new_tokens
+        logprobs = jnp.where(
+            (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :], -jnp.inf, logprobs
+        )
+        if no_repeat_ngram_size:
+            logprobs = ban_repeated_ngrams(
+                logprobs, s.seqs.reshape(n, lmax), cur, no_repeat_ngram_size
+            )
+
+        cand = logprobs.reshape(b, nb, v) + s.beam_scores[..., None]
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
+        src_beam = top_idx // v
+        token = top_idx % v
+        # a candidate "hits stopping": emits eos, or its sequence reaches max len
+        hits = (token == eos_token_id) | jnp.broadcast_to(cur + 1 >= lmax, token.shape)
+
+        # --- continuing beams: top nb non-hit candidates in rank order ---
+        rank = jnp.cumsum(~hits, axis=1)
+        pick = (rank[:, :, None] == jnp.arange(1, nb + 1)[None, None, :]) & (~hits)[..., None]
+        sel = jnp.argmax(pick, axis=1)  # [B, nb]
+        new_scores = jnp.take_along_axis(top_scores, sel, axis=1)
+        new_tokens = jnp.take_along_axis(token, sel, axis=1)
+        new_src = jnp.take_along_axis(src_beam, sel, axis=1)
+
+        # --- finished hypotheses: hit candidates among the top nb ranks ---
+        fin = (s.fin_seqs, s.fin_scores, s.fin_lens, s.n_fin)
+        pen = cur.astype(jnp.float32) ** length_penalty  # num generated incl. final token
+        for j in range(nb):
+            src_j = src_beam[:, j]
+            hyp = jnp.take_along_axis(
+                s.seqs, jnp.broadcast_to(src_j[:, None, None], (b, 1, lmax)), axis=1
+            )[:, 0]
+            hyp = jax.lax.dynamic_update_slice_in_dim(
+                hyp, token[:, j : j + 1].astype(jnp.int32), cur, axis=1
+            )
+            do = hits[:, j] & ~frozen
+            fin = _insert_hyp(
+                *fin, hyp, top_scores[:, j] / pen,
+                jnp.broadcast_to(cur + 1, (b,)), do,
+            )
+        fin_seqs, fin_scores, fin_lens, n_fin = fin
+
+        # --- advance running beams (freeze batches with no output effect) ---
+        new_src_eff = jnp.where(frozen[:, None], jnp.arange(nb)[None, :], new_src)
+        gathered = jnp.take_along_axis(
+            s.seqs, jnp.broadcast_to(new_src_eff[..., None], (b, nb, lmax)), axis=1
+        )
+        step_tok = jnp.where(frozen[:, None], fill_value, new_tokens)
+        seqs2 = jax.lax.dynamic_update_slice_in_dim(
+            gathered, step_tok[..., None].astype(jnp.int32), cur, axis=2
+        )
+        beam_scores2 = jnp.where(frozen[:, None], s.beam_scores, new_scores)
+
+        flat_idx = (jnp.arange(b)[:, None] * nb + new_src_eff).reshape(n)
+        cache2 = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+
+        # --- sticky early-stop heuristic (HF _check_early_stop_heuristic) ---
+        if early_stopping == "never" and length_penalty > 0.0:
+            hyp_len = jnp.asarray(lmax - 1, jnp.float32)
+        else:
+            hyp_len = cur.astype(jnp.float32)
+        best_running = beam_scores2[:, 0] / hyp_len**length_penalty
+        worst_fin = jnp.where(n_fin >= nb, jnp.min(fin_scores, axis=1), NEG)
+        heuristic_ok = s.heuristic_ok & ((n_fin < nb) | (best_running > worst_fin))
+
+        return BeamState(cur + 1, seqs2, beam_scores2, cache2,
+                         fin_seqs, fin_scores, fin_lens, n_fin, heuristic_ok)
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    best = jnp.argmax(s.fin_scores, axis=1)  # [B]
+    best_seq = jnp.take_along_axis(
+        s.fin_seqs, jnp.broadcast_to(best[:, None, None], (b, 1, s.fin_seqs.shape[-1])), axis=1
+    )[:, 0]
+    best_len = jnp.take_along_axis(s.fin_lens, best[:, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(s.fin_scores, best[:, None], axis=1)[:, 0]
+    pos = jnp.arange(best_seq.shape[-1])[None, :]
+    out = jnp.where(pos >= best_len[:, None], fill_value, best_seq)
+    return out, best_score
+
+
+def beam_expand(x: jnp.ndarray, num_beams: int) -> jnp.ndarray:
+    """Tile a per-sample array to per-beam layout: [B, ...] -> [B*nb, ...]."""
+    return jnp.repeat(x, num_beams, axis=0)
+
+
+def make_generation_kwargs(cfg: GenerationConfig) -> dict:
+    return dict(
+        num_beams=cfg.num_beams,
+        max_new_tokens=cfg.max_new_tokens,
+        min_new_tokens=cfg.min_new_tokens,
+        no_repeat_ngram_size=cfg.no_repeat_ngram_size,
+        length_penalty=cfg.length_penalty,
+        early_stopping=cfg.early_stopping,
+        eos_token_id=cfg.eos_token_id,
+        pad_token_id=cfg.pad_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+    )

@@ -1,0 +1,72 @@
+"""Greedy decoding as a fixed-shape ``lax.while_loop`` (HF ``greedy_search``
+semantics with min-length and no-repeat-ngram processors). The cheap serving
+mode when beam quality isn't needed."""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mmdx_tpu.decode.ngram import ban_repeated_ngrams
+
+
+class GreedyState(NamedTuple):
+    cur_len: jnp.ndarray
+    seqs: jnp.ndarray  # [B, Lmax]
+    cache: Any
+    finished: jnp.ndarray  # [B] bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_fn", "batch", "vocab_size", "max_new_tokens", "min_new_tokens",
+        "no_repeat_ngram_size", "eos_token_id", "pad_token_id",
+        "decoder_start_token_id",
+    ),
+)
+def greedy_decode(
+    step_fn: Callable,
+    init_cache: Any,
+    *,
+    batch: int,
+    vocab_size: int,
+    max_new_tokens: int = 180,
+    min_new_tokens: int = 150,
+    no_repeat_ngram_size: int = 3,
+    eos_token_id: int = 1,
+    pad_token_id: int = 0,
+    decoder_start_token_id: int = 0,
+):
+    """Returns sequences [B, 1+max_new_tokens] (start + tokens, pad-filled)."""
+    b, v = batch, vocab_size
+    lmax = 1 + max_new_tokens
+    min_len = 1 + min_new_tokens
+
+    seqs = jnp.full((b, lmax), pad_token_id, jnp.int32).at[:, 0].set(decoder_start_token_id)
+    state = GreedyState(jnp.asarray(1, jnp.int32), seqs, init_cache,
+                        jnp.zeros((b,), jnp.bool_))
+
+    def cond(s):
+        return (s.cur_len < lmax) & ~jnp.all(s.finished)
+
+    def body(s):
+        cur = s.cur_len
+        last = jnp.take_along_axis(s.seqs, (cur - 1)[None, None].repeat(b, 0), axis=1)
+        logits, cache = step_fn(last, cur - 1, s.cache)
+        logprobs = logits.astype(jnp.float32)
+        logprobs = jnp.where(
+            (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :], -jnp.inf, logprobs
+        )
+        if no_repeat_ngram_size:
+            logprobs = ban_repeated_ngrams(logprobs, s.seqs, cur, no_repeat_ngram_size)
+        tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+        tok = jnp.where(s.finished, pad_token_id, tok)
+        seqs2 = jax.lax.dynamic_update_slice_in_dim(s.seqs, tok[:, None], cur, axis=1)
+        finished = s.finished | (tok == eos_token_id)
+        return GreedyState(cur + 1, seqs2, cache, finished)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return s.seqs

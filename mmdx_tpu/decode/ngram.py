@@ -1,0 +1,56 @@
+"""No-repeat-ngram logits masking, fixed-shape (jit/while_loop friendly).
+
+Replicates HF ``NoRepeatNGramLogitsProcessor`` (used by the reference via
+``no_repeat_ngram_size=3``, reference inference_pipeline.py:190): a token v is
+banned at the current step if the n-gram formed by the last (n-1) generated
+tokens followed by v already occurs in the sequence so far.
+
+The HF implementation builds python dicts per step (host control flow); here the
+scan over candidate windows is a vectorized compare + scatter, so it lives
+inside the compiled decode loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("ngram_size",))
+def ban_repeated_ngrams(
+    logprobs: jnp.ndarray,  # [N, V]
+    seqs: jnp.ndarray,  # [N, Lmax] token history (positions >= cur_len are junk)
+    cur_len: jnp.ndarray,  # scalar int32: tokens generated so far (incl. start)
+    ngram_size: int = 3,
+) -> jnp.ndarray:
+    """Return logprobs with banned tokens set to -inf."""
+    n, v = logprobs.shape
+    lmax = seqs.shape[1]
+    k = ngram_size - 1
+    if lmax < ngram_size:
+        return logprobs
+
+    # last (n-1)-token suffix of each sequence, gathered at dynamic cur_len
+    suffix_idx = cur_len - k + jnp.arange(k)  # [k]
+    suffix = jnp.take_along_axis(seqs, jnp.broadcast_to(suffix_idx[None], (n, k)), axis=1)
+
+    # all (n-1)-windows and the token that followed each
+    w = lmax - ngram_size + 1
+    win_idx = jnp.arange(w)[:, None] + jnp.arange(k)[None, :]  # [W, k]
+    windows = seqs[:, win_idx]  # [N, W, k]
+    followers = seqs[:, jnp.arange(w) + k]  # [N, W]
+
+    # a window is a live match if it equals the suffix and lies fully in history
+    # (HF bans ngrams whose follower position < cur_len)
+    in_range = (jnp.arange(w) + k) < cur_len  # [W]
+    match = jnp.all(windows == suffix[:, None, :], axis=-1) & in_range[None]  # [N, W]
+
+    # scatter: banned[v] = any(match where follower == v)
+    def per_row(m, f):
+        return jnp.zeros((v,), jnp.bool_).at[f].max(m, mode="drop")
+
+    banned = jax.vmap(per_row)(match, followers)  # [N, V] bool
+    return jnp.where(banned, NEG_INF, logprobs)
