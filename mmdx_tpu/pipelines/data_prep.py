@@ -1,0 +1,195 @@
+"""Offline data preparation: label raw reports, synthesize patient details,
+stage images + parquet into the object store.
+
+Rebuilds the capability of the reference's one-shot prep script (reference
+``backend/ml/data_prep/raw_data_pre_preparation.py``): for each raw row
+(image, findings, impression) it
+  1. derives a 13-bit disease classification vector from the report text
+     (the reference calls OpenAI gpt-5 per row, :74-106; we make the labeler
+     pluggable — a deterministic rule-based labeler is the offline default and
+     an LLM-backed labeler can be injected where egress exists),
+  2. synthesizes a free-text ``patient_details`` string (age/sex/view/risk
+     factors/symptoms sampled with disease-aware hints, :114-167),
+  3. concatenates findings+impression into ``report`` (:173-174),
+  4. uploads the JPEG to the object store under a content-hashed key and
+     replaces the image column with its URL (:232-257),
+  5. writes the dataset as parquet (:260-272).
+
+No import-time side effects (the reference runs the whole prep at import,
+:319 — a bug we do not replicate); drive it via scheduler/commands.py.
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+import random
+import re
+from dataclasses import dataclass
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+from mmdx_tpu.config import DISEASES
+
+# Disease -> plausible presenting symptoms (our own domain table; same role as
+# the reference's SYMPTOMS_MAP, helper.py:8-22).
+SYMPTOMS_MAP: dict[str, list[str]] = {
+    "No Finding": ["routine screening", "no acute symptoms", "follow up"],
+    "Enlarged Cardiomediastinum": ["chest fullness", "shortness of breath", "fatigue"],
+    "Cardiomegaly": ["exertional dyspnea", "leg swelling", "orthopnea", "fatigue"],
+    "Lung Opacity": ["cough", "shortness of breath", "low grade fever"],
+    "Lung Lesion": ["weight loss", "chronic cough", "hemoptysis"],
+    "Edema": ["shortness of breath", "orthopnea", "leg swelling"],
+    "Consolidation": ["productive cough", "fever", "pleuritic chest pain"],
+    "Pneumonia": ["fever", "productive cough", "chills", "pleuritic chest pain"],
+    "Atelectasis": ["shortness of breath", "recent surgery", "chest discomfort"],
+    "Pneumothorax": ["sudden chest pain", "acute dyspnea", "recent trauma"],
+    "Pleural Effusion": ["dyspnea", "pleuritic chest pain", "dry cough"],
+    "Pleural Other": ["chronic chest pain", "prior asbestos exposure"],
+    "Fracture": ["chest wall pain", "recent fall", "trauma", "point tenderness"],
+}
+
+# Report phrasing seeds for tokenizer vocab coverage / synthetic corpora.
+REPORT_PHRASES: list[str] = [
+    "No acute cardiopulmonary abnormality.",
+    "Heart size is within normal limits.",
+    "The lungs are clear without focal consolidation, effusion, or pneumothorax.",
+    "There is mild cardiomegaly with pulmonary vascular congestion.",
+    "Patchy opacity in the right lower lobe concerning for pneumonia.",
+    "Small left pleural effusion with adjacent atelectasis.",
+    "No displaced rib fracture identified.",
+    "Interval improvement in pulmonary edema.",
+]
+
+# keyword -> disease index, for the rule-based labeler
+_KEYWORDS: list[tuple[str, str]] = [
+    (r"enlarged cardiomediastin|widened mediastin", "Enlarged Cardiomediastinum"),
+    (r"cardiomegaly|enlarged heart|heart size is enlarged", "Cardiomegaly"),
+    (r"opacit|opacification|infiltrate", "Lung Opacity"),
+    (r"lesion|nodule|mass", "Lung Lesion"),
+    (r"edema|vascular congestion", "Edema"),
+    (r"consolidat", "Consolidation"),
+    (r"pneumonia", "Pneumonia"),
+    (r"atelecta", "Atelectasis"),
+    (r"pneumothora", "Pneumothorax"),
+    (r"pleural effusion|effusion", "Pleural Effusion"),
+    (r"pleural thickening|pleural plaque|pleural scarr", "Pleural Other"),
+    (r"fracture", "Fracture"),
+]
+_NEGATION = re.compile(
+    r"\b(no|without|negative for|absence of|free of|resolved|no evidence of)\b[^.;:]*$"
+)
+
+
+def rule_based_disease_labeler(report_text: str) -> list[int]:
+    """Deterministic 13-bit labeler from report text (offline default).
+
+    Scans sentence fragments for disease keywords, respecting simple negation
+    ("no ...", "without ...").  Returns the fixed-order vector over DISEASES.
+    """
+    vec = [0] * len(DISEASES)
+    text = (report_text or "").lower()
+    for fragment in re.split(r"[.;:]", text):
+        for pattern, disease in _KEYWORDS:
+            m = re.search(pattern, fragment)
+            if not m:
+                continue
+            prefix = fragment[: m.start()]
+            if _NEGATION.search(prefix):
+                continue
+            vec[DISEASES.index(disease)] = 1
+    if not any(vec):
+        vec[DISEASES.index("No Finding")] = 1
+    return vec
+
+
+def synthesize_patient_details(
+    disease_vector: Sequence[int], rng: random.Random
+) -> str:
+    """Free-text patient details with disease-aware symptoms (reference
+    create_patient_details_column capability, raw_data_pre_preparation.py:114-167)."""
+    age = rng.randint(18, 90)
+    sex = rng.choice(["male", "female"])
+    view = rng.choice(["PA", "AP", "lateral"])
+    parts = [f"{age} year old {sex} {view} view"]
+    if rng.random() < 0.4:
+        parts.append(f"smoking history of {rng.choice([5, 10, 20, 30, 40])} pack years")
+    for risk, p in (("hypertension", 0.3), ("diabetes", 0.2), ("copd", 0.15)):
+        if rng.random() < p:
+            parts.append(risk)
+    pool: list[str] = []
+    for i, bit in enumerate(disease_vector):
+        if bit:
+            pool.extend(SYMPTOMS_MAP.get(DISEASES[i], []))
+    if not pool:
+        pool = SYMPTOMS_MAP["No Finding"]
+    k = min(len(pool), rng.randint(1, 3))
+    parts.extend(rng.sample(pool, k))
+    return " , ".join(parts)
+
+
+@dataclass
+class RawExample:
+    image_bytes: bytes
+    findings: str
+    impression: str
+
+
+def prepare_raw_dataset(
+    examples: Iterable[RawExample],
+    store,  # mmdx_tpu.io.store.ObjectStore
+    *,
+    image_prefix: str = "chest-x-ray-images/",
+    parquet_key: str = "raw_data/dataset.parquet",
+    labeler: Callable[[str], list[int]] | None = None,
+    seed: int = 0,
+):
+    """Run the full prep pipeline into `store`; returns the prepared DataFrame.
+
+    Columns match the reference's parquet schema consumed by the feature
+    pipeline (feature_pipeline.py:34): image_url, patient_details,
+    disease_classification_vector, report.
+    """
+    import pandas as pd
+
+    labeler = labeler or rule_based_disease_labeler
+    rng = random.Random(seed)
+    rows = []
+    for ex in examples:
+        report = f"{ex.findings.strip()} {ex.impression.strip()}".strip()
+        vec = labeler(report)
+        details = synthesize_patient_details(vec, rng)
+        digest = hashlib.sha256(ex.image_bytes).hexdigest()[:14]
+        key = f"{image_prefix}{digest[:8]}-{digest[8:14]}.jpg"
+        store.put(key, ex.image_bytes)
+        rows.append(
+            {
+                "image_url": store.url_for(key),
+                "patient_details": details,
+                "disease_classification_vector": np.asarray(vec, np.float32),
+                "report": report,
+            }
+        )
+    df = pd.DataFrame(rows)
+    buf = io.BytesIO()
+    df.to_parquet(buf, index=False)
+    store.put(parquet_key, buf.getvalue())
+    return df
+
+
+def synthetic_raw_examples(n: int = 16, seed: int = 0) -> list[RawExample]:
+    """Generate synthetic raw examples (gray gradient JPEGs + templated reports)
+    for tests/dev where the HF source dataset is unavailable."""
+    from PIL import Image
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        arr = (np.outer(np.linspace(0, 255, 64), np.ones(64)) + rng.randint(0, 40)) % 256
+        img = Image.fromarray(arr.astype(np.uint8), mode="L")
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)
+        findings = rng.choice(REPORT_PHRASES)
+        impression = rng.choice(REPORT_PHRASES)
+        out.append(RawExample(buf.getvalue(), findings, impression))
+    return out
