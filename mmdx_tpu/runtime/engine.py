@@ -1,0 +1,186 @@
+"""InferenceEngine: compiled, cached, batched execution of the flagship model.
+
+This is the TPU-native replacement for the reference's per-request torch
+``inference()`` path (reference ``backend/ml/pipelines/inference_pipeline.py:
+151-206``).  Design:
+
+  * every device program is built once per (batch, image-shape) and cached —
+    first request compiles, the rest replay;
+  * two precision modes: ``parity`` (fp32 end-to-end + host-exact PIL
+    preprocessing — bit-compatible with the reference) and ``fast`` (bfloat16
+    towers, on-device fused preprocessing — the throughput mode);
+  * classification and generation are separate programs, so the fused
+    classifier's latency never pays for the autoregressive decode;
+  * generation runs the jit beam-search loop over the KV-cached decoder.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdx_tpu.checkpoints.bundle import ModelBundle
+from mmdx_tpu.config import GenerationConfig
+from mmdx_tpu.decode.beam_search import beam_expand, beam_search, make_generation_kwargs
+from mmdx_tpu.decode.greedy import greedy_decode
+from mmdx_tpu.io.images import decode_image, to_canonical_u8
+from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
+from mmdx_tpu.models.fusion import FusionModel
+from mmdx_tpu.ops.preprocess import preprocess_batch_device, preprocess_exact
+
+
+class InferenceEngine:
+    def __init__(self, bundle: ModelBundle, mode: str = "parity",
+                 canonical_size: int = 512):
+        assert mode in ("parity", "fast")
+        self.bundle = bundle
+        self.mode = mode
+        self.canonical_size = canonical_size
+        self.dtype = jnp.float32 if mode == "parity" else jnp.bfloat16
+        self.model = MultiModalDiagnosisModel(config=bundle.config, dtype=self.dtype)
+        self.variables = bundle.variables
+        self.bert_tok, self.t5_tok = bundle.tokenizers()
+        self.thresholds = np.asarray(bundle.thresholds, np.float32)
+        self._classify_cache: dict[Any, Any] = {}
+        self._generate_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # host-side input prep
+    # ------------------------------------------------------------------
+    def prep_images(self, images) -> np.ndarray:
+        """list of (bytes|PIL|ndarray) -> model-ready batch.
+
+        parity: host-exact preprocessing -> [B, S, S, 3] float32
+        fast:   canonical uint8 -> [B, C, C, ch] (preprocessing runs on device)
+        """
+        cfg = self.bundle.config.image
+        arrays = [decode_image(im) for im in images]
+        if self.mode == "parity":
+            return np.stack([
+                preprocess_exact(a, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std)
+                for a in arrays
+            ])
+        canon = [to_canonical_u8(a, self.canonical_size) for a in arrays]
+        ch = max(c.shape[-1] for c in canon)
+        if ch == 3:
+            canon = [np.repeat(c, 3, -1) if c.shape[-1] == 1 else c for c in canon]
+        return np.stack(canon)
+
+    def prep_texts(self, texts: list[str]) -> dict[str, np.ndarray]:
+        return self.bert_tok.encode_batch(texts, max_len=self.bundle.config.text.max_len)
+
+    # ------------------------------------------------------------------
+    # compiled programs
+    # ------------------------------------------------------------------
+    def _classify_fn(self, image_shape: tuple):
+        key = ("classify", image_shape)
+        if key not in self._classify_cache:
+            model = self.model
+            cfg = self.bundle.config.image
+            on_device_preproc = self.mode == "fast" and len(image_shape) == 4
+
+            @jax.jit
+            def run(variables, images, ids, mask, tt):
+                if on_device_preproc:
+                    x = preprocess_batch_device(
+                        images, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std,
+                        out_dtype=model.dtype,
+                    )
+                else:
+                    x = images
+                out = model.apply(variables, x, ids, mask, tt,
+                                  method=MultiModalDiagnosisModel.classify)
+                return out["probs"], out["z_img"], out["z_txt"]
+
+            self._classify_cache[key] = run
+        return self._classify_cache[key]
+
+    def _generate_fn(self, gen: GenerationConfig, greedy: bool):
+        kw = make_generation_kwargs(gen)
+        key = ("generate", tuple(sorted(kw.items())), greedy)
+        if key not in self._generate_cache:
+            model = self.model
+            rep = self.bundle.config.report
+            fusion_method = MultiModalDiagnosisModel.prepare_generation
+            lmax = 1 + gen.max_new_tokens
+
+            @functools.partial(jax.jit, static_argnames=("batch",))
+            def run(variables, z_img, z_txt, batch: int):
+                nb = 1 if greedy else gen.num_beams
+                zi = beam_expand(z_img, nb) if nb > 1 else z_img
+                zt = beam_expand(z_txt, nb) if nb > 1 else z_txt
+                prep = model.apply(variables, zi, zt, lmax, method=fusion_method)
+                # self_bias is shared (leading dim 1) and enc_mask is constant
+                # ones: close over them instead of carrying them in the
+                # beam-reordered cache pytree.
+                self_bias, enc_mask = prep["self_bias"], prep["enc_mask"]
+
+                def step_fn(tokens, pos, layers):
+                    return model.apply(
+                        variables, tokens, pos, layers, self_bias, enc_mask,
+                        method=MultiModalDiagnosisModel.decode_step,
+                    )
+
+                cache = prep["cache"]
+                if greedy:
+                    return greedy_decode(
+                        step_fn, cache, batch=batch, vocab_size=rep.vocab_size,
+                        max_new_tokens=gen.max_new_tokens,
+                        min_new_tokens=gen.min_new_tokens,
+                        no_repeat_ngram_size=gen.no_repeat_ngram_size,
+                        eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
+                        decoder_start_token_id=gen.decoder_start_token_id,
+                    )
+                seqs, _ = beam_search(
+                    step_fn, cache, batch=batch, vocab_size=rep.vocab_size, **kw,
+                )
+                return seqs
+
+            self._generate_cache[key] = run
+        return self._generate_cache[key]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def classify_batch(self, images, texts: list[str]):
+        """-> (probs [B,13] np.float32, z_img, z_txt)."""
+        imgs = self.prep_images(images)
+        tok = self.prep_texts(texts)
+        fn = self._classify_fn(tuple(imgs.shape))
+        probs, z_img, z_txt = fn(self.variables, imgs, tok["input_ids"],
+                                 tok["attention_mask"], tok["token_type_ids"])
+        return np.asarray(probs, np.float32), z_img, z_txt
+
+    def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
+                         greedy: bool = False) -> list[str]:
+        gen = gen or self.bundle.config.generation
+        batch = int(z_img.shape[0])
+        run = self._generate_fn(gen, greedy)
+        seqs = np.asarray(run(self.variables, z_img, z_txt, batch))
+        return self.t5_tok.batch_decode(seqs, skip_special_tokens=True)
+
+    def infer(self, image, patient_details: str, gen_kwargs: dict | None = None,
+              generate: bool = True) -> dict:
+        """Single-sample inference with the reference's output contract
+        (inference_pipeline.py:199-206)."""
+        gen = self.bundle.config.generation
+        if gen_kwargs:
+            import dataclasses
+
+            gen = dataclasses.replace(gen, **gen_kwargs)
+        probs, z_img, z_txt = self.classify_batch([image], [patient_details])
+        vector = (probs[0] >= self.thresholds).astype(int).tolist()
+        report = ""
+        if generate:
+            report = self.generate_reports(z_img, z_txt, gen)[0]
+        return {
+            "report_text": report,
+            "disease_probs": {
+                name: float(probs[0][j]) for j, name in enumerate(self.bundle.class_names)
+            },
+            "disease_vector": vector,
+            "model_version": self.bundle.version,
+        }

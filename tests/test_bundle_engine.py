@@ -1,0 +1,85 @@
+"""Bundle save/load roundtrip, registry versioning, and end-to-end engine
+inference with the reference's output contract."""
+import numpy as np
+import pytest
+
+import jax
+
+from mmdx_tpu.checkpoints.bundle import (
+    ModelBundle,
+    load_bundle,
+    new_random_bundle,
+    save_bundle,
+)
+from mmdx_tpu.checkpoints.registry import LocalModelRegistry
+from mmdx_tpu.runtime.engine import InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def small_bundle():
+    return new_random_bundle(seed=0, small=True)
+
+
+def test_bundle_roundtrip(small_bundle, tmp_path):
+    p = save_bundle(small_bundle, tmp_path / "model_bundle.mmdx")
+    loaded = load_bundle(p)
+    assert loaded.class_names == small_bundle.class_names
+    assert loaded.config == small_bundle.config
+    orig = jax.tree.leaves(small_bundle.variables)
+    new = jax.tree.leaves(loaded.variables)
+    assert len(orig) == len(new)
+    for a, b in zip(orig, new):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # timestamped history copy exists (reference :795)
+    copies = list(tmp_path.glob("model_bundle_*.mmdx"))
+    assert len(copies) == 1
+
+
+def test_registry_versioning(small_bundle, tmp_path):
+    reg = LocalModelRegistry(tmp_path / "registry")
+    v1 = reg.create_model("fusion_model_T5", small_bundle, metrics={"val_auroc_micro": 0.9})
+    v2 = reg.create_model("fusion_model_T5", small_bundle)
+    assert (v1, v2) == (1, 2)
+    assert reg.latest_version("fusion_model_T5") == 2
+    got = reg.get_model("fusion_model_T5")
+    assert got.version == 2
+    assert reg.get_metrics("fusion_model_T5", 1)["metrics"]["val_auroc_micro"] == 0.9
+    with pytest.raises(LookupError):
+        reg.latest_version("nope")
+
+
+@pytest.mark.parametrize("mode", ["parity", "fast"])
+def test_engine_end_to_end(small_bundle, sample_image_paths, sample_patient_details, mode):
+    engine = InferenceEngine(small_bundle, mode=mode, canonical_size=128)
+    img_bytes = sample_image_paths[0].read_bytes()
+    details = list(sample_patient_details.values())[0]
+    out = engine.infer(
+        img_bytes, details,
+        gen_kwargs=dict(max_new_tokens=8, min_new_tokens=2, num_beams=2),
+    )
+    assert set(out) == {"report_text", "disease_probs", "disease_vector", "model_version"}
+    assert len(out["disease_probs"]) == 13
+    assert all(0.0 <= p <= 1.0 for p in out["disease_probs"].values())
+    assert out["disease_vector"] == [
+        int(p >= 0.5) for p in out["disease_probs"].values()
+    ]
+    assert isinstance(out["report_text"], str)
+
+
+def test_parity_vs_fast_probs_close(small_bundle, sample_image_paths, sample_patient_details):
+    imgs = [p.read_bytes() for p in sample_image_paths]
+    texts = list(sample_patient_details.values())[: len(imgs)]
+    p_parity, _, _ = InferenceEngine(small_bundle, mode="parity").classify_batch(imgs, texts)
+    p_fast, _, _ = InferenceEngine(small_bundle, mode="fast",
+                                   canonical_size=512).classify_batch(imgs, texts)
+    # bf16 towers + float preproc: probabilities agree loosely
+    assert np.max(np.abs(p_parity - p_fast)) < 0.1
+
+
+def test_classification_batched(small_bundle, rng):
+    engine = InferenceEngine(small_bundle, mode="parity")
+    imgs = [rng.integers(0, 256, (300, 260, 3), dtype=np.uint8) for _ in range(4)]
+    texts = ["67M smoker dyspnea", "54F cough asthma", "", "78 year old female"]
+    probs, z_img, z_txt = engine.classify_batch(imgs, texts)
+    assert probs.shape == (4, 13)
+    assert z_img.shape[0] == 4 and z_txt.shape[0] == 4
