@@ -98,12 +98,14 @@ def load_bundle(src: str | Path | bytes) -> ModelBundle:
     blob = payload[16 + hlen :]
 
     config = DiagnosisConfig.from_json(json.dumps(header["config"]))
-    from mmdx_tpu.models.diagnosis import init_diagnosis_model
-
     import jax
 
-    with jax.default_device(jax.devices("cpu")[0] if jax.devices("cpu") else None):
-        _, template = init_diagnosis_model(jax.random.key(0), config)
+    from mmdx_tpu.models.diagnosis import init_diagnosis_model
+
+    # abstract template: structure + shapes only, no compute/compile
+    template = jax.eval_shape(
+        lambda: init_diagnosis_model(jax.random.key(0), config)[1]
+    )
     variables = serialization.from_bytes(template, blob)
     return ModelBundle(
         config=config,

@@ -134,6 +134,21 @@ class TextEncoder(nn.Module):
         pooled = masked_mean_pool(hidden, attention_mask)
         return self.proj(pooled)
 
+    def backbone_pooled(self, input_ids, attention_mask, token_type_ids=None,
+                        deterministic=True):
+        """Masked-mean-pooled backbone output — lets phase-1 training run the
+        frozen encoder outside the grad (reference encode no_grad branch, :467-470)."""
+        hidden = self.bert(input_ids, attention_mask, token_type_ids, deterministic)
+        return masked_mean_pool(hidden, attention_mask)
+
+    def heads(self, pooled):
+        """Projection + optional classifier over the pooled vector."""
+        z = self.proj(pooled)
+        out = {"embeddings": z}
+        if self.config.use_warmup_classifier:
+            out["logits"] = self.classifier(z)
+        return out
+
     def __call__(self, input_ids, attention_mask, token_type_ids=None, deterministic=True):
         z = self.encode(input_ids, attention_mask, token_type_ids, deterministic)
         out = {"embeddings": z}

@@ -68,14 +68,20 @@ class MultiModalDiagnosisModel(nn.Module):
 
     def __call__(self, images, input_ids, attention_mask, token_type_ids=None,
                  report_labels=None, train: bool = False):
-        """Full forward for training: towers + fusion (+ teacher-forced report)."""
-        z_img = self.encode_image(images, train=train)
-        z_txt = self.encode_text(input_ids, attention_mask, token_type_ids,
-                                 deterministic=not train)
-        out = self.fusion(z_img, z_txt, report_labels=report_labels,
-                          deterministic=not train)
-        out["z_img"] = z_img
-        out["z_txt"] = z_txt
+        """Full forward for training: towers (incl. warm-up classifier heads,
+        so their params materialize as in the reference state dicts) + fusion
+        (+ teacher-forced report)."""
+        img_out = self.image_encoder(images, train=train)
+        txt_out = self.text_encoder(input_ids, attention_mask, token_type_ids,
+                                    deterministic=not train)
+        out = self.fusion(img_out["embeddings"], txt_out["embeddings"],
+                          report_labels=report_labels, deterministic=not train)
+        out["z_img"] = img_out["embeddings"]
+        out["z_txt"] = txt_out["embeddings"]
+        if "logits" in img_out:
+            out["image_logits"] = img_out["logits"]
+        if "logits" in txt_out:
+            out["text_logits"] = txt_out["logits"]
         return out
 
 

@@ -140,6 +140,19 @@ class ImageEncoder(nn.Module):
         feats = self.backbone(images, train=train)
         return self.proj(feats.astype(self.dtype))
 
+    def backbone_features(self, images, train: bool = False):
+        """Pooled backbone features only — lets phase-1 training run the frozen
+        backbone outside the grad (reference _backbone_forward_nograd, :275-282)."""
+        return self.backbone(images, train=train)
+
+    def heads(self, feats):
+        """Projection + optional classifier over precomputed features."""
+        z = self.proj(feats.astype(self.dtype))
+        out = {"embeddings": z}
+        if self.config.use_warmup_classifier:
+            out["logits"] = self.classifier(z)
+        return out
+
     def __call__(self, images, train: bool = False):
         z = self.encode(images, train=train)
         out = {"embeddings": z}

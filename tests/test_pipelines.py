@@ -1,0 +1,161 @@
+"""End-to-end offline MLOps flow: data prep -> feature pipeline -> training ->
+registry publish -> inference, all on in-memory stores (no external services)."""
+import numpy as np
+import pytest
+
+from mmdx_tpu.checkpoints.bundle import new_random_bundle
+from mmdx_tpu.checkpoints.registry import LocalModelRegistry
+from mmdx_tpu.io.feature_store import FeatureStore
+from mmdx_tpu.io.store import InMemoryStore, register_store
+from mmdx_tpu.pipelines.data_prep import (
+    prepare_raw_dataset,
+    rule_based_disease_labeler,
+    synthesize_patient_details,
+    synthetic_raw_examples,
+)
+from mmdx_tpu.pipelines.feature_pipeline import (
+    load_features_labels_from_feature_store,
+    load_raw_data,
+    run_feature_pipeline,
+)
+from mmdx_tpu.pipelines.metrics import auroc_micro, rouge_l
+
+
+def test_rule_based_labeler():
+    vec = rule_based_disease_labeler(
+        "Mild cardiomegaly. Patchy consolidation in the right lower lobe, likely "
+        "pneumonia. No pleural effusion or pneumothorax."
+    )
+    from mmdx_tpu.config import DISEASES
+
+    as_names = {DISEASES[i] for i, b in enumerate(vec) if b}
+    assert {"Cardiomegaly", "Consolidation", "Pneumonia"} <= as_names
+    assert "Pleural Effusion" not in as_names and "Pneumothorax" not in as_names
+
+    clear = rule_based_disease_labeler("The lungs are clear. No acute abnormality.")
+    assert clear[0] == 1 and sum(clear) == 1  # No Finding
+
+
+def test_patient_details_synthesis():
+    import random
+
+    vec = [0] * 13
+    vec[7] = 1  # Pneumonia
+    text = synthesize_patient_details(vec, random.Random(0))
+    assert "year old" in text
+    assert any(s in text for s in ("fever", "cough", "chills", "chest pain"))
+
+
+def test_metrics():
+    y = np.array([[1, 0], [0, 1], [1, 0]], np.float32)
+    perfect = np.array([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]], np.float32)
+    assert auroc_micro(y, perfect) == 1.0
+    assert auroc_micro(y, 1 - perfect) == 0.0
+    assert rouge_l("the lungs are clear", "the lungs are clear") == 1.0
+    assert rouge_l("the lungs are clear", "totally unrelated words") == 0.0
+
+
+@pytest.fixture(scope="module")
+def prepared_world():
+    store = register_store(InMemoryStore("medical-ml-bucket"))
+    fs = FeatureStore(object_store=store)
+    df = prepare_raw_dataset(synthetic_raw_examples(12, seed=1), store)
+    return store, fs, df
+
+
+def test_data_prep_and_feature_pipeline(prepared_world):
+    store, fs, df = prepared_world
+    assert len(df) == 12
+    assert store.exists("raw_data/dataset.parquet")
+    assert all(u.startswith("mem://medical-ml-bucket/chest-x-ray-images/")
+               for u in df["image_url"])
+
+    raw = load_raw_data(store)
+    assert list(raw.columns) == [
+        "image_url", "patient_details", "disease_classification_vector", "report",
+    ]
+    run_feature_pipeline(store, fs)
+    # idempotent upsert: inserting twice still dedups to unique image_urls
+    run_feature_pipeline(store, fs)
+    feats = load_features_labels_from_feature_store(fs)
+    assert len(feats) == raw["image_url"].nunique()
+    assert "event_time" in feats.columns
+
+
+def test_training_pipeline_end_to_end(prepared_world, tmp_path):
+    from mmdx_tpu.pipelines.training_pipeline import TrainingOptions, run_training_pipeline
+
+    store, fs, _ = prepared_world
+    run_feature_pipeline(store, fs)
+    registry = LocalModelRegistry(tmp_path / "registry")
+    bundle = new_random_bundle(seed=0, small=True)
+    # shrink generation for test speed
+    import dataclasses
+
+    gen = dataclasses.replace(
+        bundle.config.generation, max_new_tokens=8, min_new_tokens=2, num_beams=2
+    )
+    bundle.config = dataclasses.replace(bundle.config, generation=gen)
+
+    result = run_training_pipeline(
+        fs, registry, bundle=bundle,
+        options=TrainingOptions(
+            image_phase1_steps=2, image_phase2_steps=1, text_steps_per_phase=2,
+            fusion_steps=12, fusion_batch=6, image_batch=6, log_every=6,
+            log=lambda s: None,
+        ),
+    )
+    assert result["version"] == 1
+    assert registry.latest_version("fusion_model_T5") == 1
+    losses = result["losses"]["fusion"]
+    assert losses[-1] < losses[0]  # joint loss decreases
+    assert "val_auroc_micro" in result["metrics"]
+    assert len(result["reports"]) == 6
+
+    # the published model serves end-to-end
+    from mmdx_tpu.pipelines.inference_pipeline import get_engine, load_model_from_registry
+
+    loaded = load_model_from_registry(registry)
+    eng = get_engine(loaded)
+    out = eng.infer(
+        synthetic_raw_examples(1, seed=9)[0].image_bytes, "67M smoker dyspnea",
+        gen_kwargs=dict(max_new_tokens=6, min_new_tokens=1, num_beams=2),
+    )
+    assert len(out["disease_probs"]) == 13
+    assert out["model_version"] == 1
+
+
+def test_phase1_freezes_backbone(prepared_world):
+    """Phase-1 optimizer must leave backbone params untouched (reference
+    freeze_backbone semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmdx_tpu.config import ImageEncoderConfig
+    from mmdx_tpu.models.resnet import ImageEncoder, init_image_encoder
+    from mmdx_tpu.pipelines.training_pipeline import (
+        TrainState,
+        build_encoder_optimizer,
+        image_train_step,
+    )
+
+    cfg = ImageEncoderConfig(d_img=32, img_size=32)
+    model, variables = init_image_encoder(jax.random.key(0), cfg)
+    tx = build_encoder_optimizer(variables["params"], "backbone", phase=1)
+    state = TrainState.create(variables["params"], tx, variables["batch_stats"])
+    imgs = jnp.ones((2, 32, 32, 3), jnp.float32)
+    y = jnp.zeros((2, 13), jnp.float32)
+    new_state, loss = image_train_step(model, tx, 1, state, imgs, y)
+
+    before = jax.tree.leaves(state.params["backbone"])
+    after = jax.tree.leaves(new_state.params["backbone"])
+    assert all(np.array_equal(a, b) for a, b in zip(before, after))
+    # heads did move
+    assert not np.array_equal(
+        np.asarray(state.params["proj"]["kernel"]),
+        np.asarray(new_state.params["proj"]["kernel"]),
+    )
+    # BN stats unchanged in phase 1 (backbone.eval())
+    bs_before = jax.tree.leaves(state.batch_stats)
+    bs_after = jax.tree.leaves(new_state.batch_stats)
+    assert all(np.array_equal(a, b) for a, b in zip(bs_before, bs_after))
