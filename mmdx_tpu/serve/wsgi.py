@@ -1,0 +1,202 @@
+"""WSGI serving app — the reference Django REST API, framework-free.
+
+Routes and JSON contracts mirror the reference exactly so its React frontend
+swaps in unchanged (reference ``backend/api/urls.py:6-10``, ``views.py``):
+
+  GET  /api/items/        -> [{"name": "Item 1"}, {"name": "Item 2"}]  (:22-24)
+  POST /api/predict/      -> {"diseases": [{name, probability%}], "report_text"}
+                             (:60-103; probabilities as 0-100 with 2dp)
+  POST /api/load-sample/  -> {image_name, image_mime, image_base64,
+                              patient_details}  (:110-158)
+
+Env config mirrors the reference's: ``MMDX_BUNDLE_PATH``/``CXR_BUNDLE_PATH``
+(views.py:196), ``sample_images``/``sample_details`` dir overrides
+(views.py:117-118), ``PORT``.  CORS is allow-all like the reference
+(settings.py:34).
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import mimetypes
+import os
+import random
+import traceback
+from pathlib import Path
+
+from PIL import Image
+
+from mmdx_tpu.config import DISEASES
+
+
+class DiagnosisApp:
+    """WSGI application; model loads lazily on first predict."""
+
+    def __init__(self, bundle=None, engine_mode: str = "parity",
+                 generate_reports: bool = True, gen_overrides: dict | None = None):
+        self._bundle = bundle
+        self.engine_mode = engine_mode
+        self.generate_reports = generate_reports
+        self.gen_overrides = gen_overrides
+        self._static_dir = Path(__file__).resolve().parent / "frontend"
+
+    # -- model plumbing -------------------------------------------------
+    def _engine(self):
+        from mmdx_tpu.pipelines.inference_pipeline import get_engine, get_model_bundle
+
+        if self._bundle is None:
+            self._bundle = get_model_bundle()
+        return get_engine(self._bundle, mode=self.engine_mode)
+
+    # -- WSGI -----------------------------------------------------------
+    def __call__(self, environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        method = environ.get("REQUEST_METHOD", "GET")
+        try:
+            if path in ("/api/items", "/api/items/") and method == "GET":
+                return self._json(start_response, 200,
+                                  [{"name": "Item 1"}, {"name": "Item 2"}])
+            if path in ("/api/predict", "/api/predict/") and method == "POST":
+                return self._predict(environ, start_response)
+            if path in ("/api/load-sample", "/api/load-sample/") and method == "POST":
+                return self._load_sample(start_response)
+            if method == "OPTIONS":
+                return self._json(start_response, 200, {})
+            if method == "GET":
+                return self._static(path, start_response)
+            return self._json(start_response, 404, {"error": "not found"})
+        except Exception as e:  # request-level 500, like DRF's handler
+            traceback.print_exc()
+            return self._json(start_response, 500, {"error": str(e)})
+
+    def _json(self, start_response, status: int, payload):
+        body = json.dumps(payload).encode("utf-8")
+        reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                   500: "Internal Server Error"}
+        start_response(
+            f"{status} {reasons.get(status, 'OK')}",
+            [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(body))),
+                ("Access-Control-Allow-Origin", "*"),
+                ("Access-Control-Allow-Headers", "*"),
+                ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
+            ],
+        )
+        return [body]
+
+    # -- routes ----------------------------------------------------------
+    def _read_body(self, environ) -> bytes:
+        length = int(environ.get("CONTENT_LENGTH") or 0)
+        return environ["wsgi.input"].read(length) if length else b""
+
+    def _predict(self, environ, start_response):
+        from mmdx_tpu.serve.multipart import parse_boundary, parse_multipart
+
+        ctype = environ.get("CONTENT_TYPE", "")
+        body = self._read_body(environ)
+        image_bytes: bytes | None = None
+        patient_details = ""
+
+        if ctype.startswith("multipart/form-data"):
+            boundary = parse_boundary(ctype)
+            if not boundary:
+                return self._json(start_response, 400, {"error": "Missing boundary."})
+            parts = parse_multipart(body, boundary)
+            if "image" in parts:
+                image_bytes = parts["image"].data
+            patient_details = parts.get("patient_details").text if "patient_details" in parts else ""
+        elif ctype.startswith("application/json"):
+            payload = json.loads(body or b"{}")
+            if payload.get("image_base64"):
+                image_bytes = base64.b64decode(payload["image_base64"])
+            patient_details = payload.get("patient_details", "")
+
+        if not image_bytes:
+            return self._json(start_response, 400, {"error": "Missing 'image' file."})
+        try:
+            image_pil = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        except Exception:
+            return self._json(start_response, 400, {"error": "Invalid image format."})
+
+        engine = self._engine()
+        preds = engine.infer(
+            image_pil, patient_details,
+            gen_kwargs=self.gen_overrides, generate=self.generate_reports,
+        )
+
+        raw_probs = preds.get("disease_probs") or {}
+        diseases = []
+        for name in DISEASES:
+            p = float(raw_probs.get(name, 0.0))
+            if p <= 1.0:
+                p *= 100.0  # reference normalizes to 0-100 percentages (views.py:92-97)
+            diseases.append({"name": name, "probability": round(p, 2)})
+        return self._json(start_response, 200, {
+            "diseases": diseases,
+            "report_text": preds.get("report_text", ""),
+        })
+
+    def _load_sample(self, start_response):
+        images_dir = Path(os.getenv("sample_images", "sample_images/"))
+        details_json = Path(os.getenv("sample_details", "sample_details/patient_details.json"))
+        if not images_dir.exists():
+            return self._json(start_response, 500,
+                              {"error": f"Images dir not found: {images_dir.resolve()}"})
+        details_map = {}
+        if details_json.exists():
+            try:
+                details_map = json.loads(details_json.read_text(encoding="utf-8"))
+            except Exception as e:
+                return self._json(start_response, 500,
+                                  {"error": f"Failed to read details JSON: {e}"})
+        exts = {".png", ".jpg", ".jpeg"}
+        candidates = [p for p in images_dir.iterdir()
+                      if p.is_file() and p.suffix.lower() in exts]
+        if not candidates:
+            return self._json(start_response, 404,
+                              {"error": f"No images found in {images_dir.resolve()}."})
+        with_details = [p for p in candidates if p.name in details_map]
+        chosen = random.choice(with_details or candidates)
+        image_bytes = chosen.read_bytes()
+        return self._json(start_response, 200, {
+            "image_name": chosen.name,
+            "image_mime": mimetypes.guess_type(chosen.name)[0] or "image/png",
+            "image_base64": base64.b64encode(image_bytes).decode("ascii"),
+            "patient_details": details_map.get(
+                chosen.name,
+                "Age/sex, symptoms (onset/duration), key history, recent "
+                "surgery/hospitalization, meds/O2, vitals, clinical question.",
+            ),
+        })
+
+    def _static(self, path: str, start_response):
+        """Serve the bundled single-page frontend."""
+        rel = "index.html" if path in ("/", "") else path.lstrip("/")
+        f = (self._static_dir / rel).resolve()
+        if not str(f).startswith(str(self._static_dir.resolve())) or not f.is_file():
+            return self._json(start_response, 404, {"error": "not found"})
+        body = f.read_bytes()
+        ctype = mimetypes.guess_type(f.name)[0] or "application/octet-stream"
+        start_response("200 OK", [("Content-Type", ctype),
+                                  ("Content-Length", str(len(body)))])
+        return [body]
+
+
+def make_app(**kwargs) -> DiagnosisApp:
+    return DiagnosisApp(**kwargs)
+
+
+def main():
+    """Dev server: python -m mmdx_tpu.serve.wsgi (PORT env, default 8000)."""
+    from wsgiref.simple_server import make_server
+
+    port = int(os.getenv("PORT", "8000"))
+    app = make_app()
+    print(f"[mmdx] serving on http://0.0.0.0:{port}")
+    make_server("0.0.0.0", port, app).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

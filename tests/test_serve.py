@@ -1,0 +1,134 @@
+"""Serving API tests: WSGI routes match the reference's JSON contracts."""
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+
+from mmdx_tpu.checkpoints.bundle import new_random_bundle
+from mmdx_tpu.serve.multipart import parse_boundary, parse_multipart
+from mmdx_tpu.serve.wsgi import make_app
+
+
+def call(app, method, path, body=b"", content_type=""):
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+        status_headers["headers"] = dict(headers)
+
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "CONTENT_TYPE": content_type,
+        "CONTENT_LENGTH": str(len(body)),
+        "wsgi.input": io.BytesIO(body),
+    }
+    chunks = app(environ, start_response)
+    return status_headers["status"], status_headers["headers"], b"".join(chunks)
+
+
+def multipart_body(fields: dict, files: dict):
+    boundary = b"testboundary123"
+    out = []
+    for name, value in fields.items():
+        out += [b"--" + boundary,
+                f'Content-Disposition: form-data; name="{name}"'.encode(),
+                b"", value.encode()]
+    for name, (fname, data, ctype) in files.items():
+        out += [b"--" + boundary,
+                f'Content-Disposition: form-data; name="{name}"; filename="{fname}"'.encode(),
+                f"Content-Type: {ctype}".encode(), b"", data]
+    out.append(b"--" + boundary + b"--")
+    return b"\r\n".join(out), f"multipart/form-data; boundary=testboundary123"
+
+
+@pytest.fixture(scope="module")
+def app():
+    bundle = new_random_bundle(seed=0, small=True)
+    return make_app(bundle=bundle, generate_reports=True,
+                    gen_overrides=dict(max_new_tokens=6, min_new_tokens=1, num_beams=2))
+
+
+def test_multipart_parser():
+    body, ctype = multipart_body({"patient_details": "67M smoker"},
+                                 {"image": ("x.jpg", b"\xff\xd8JPEGDATA", "image/jpeg")})
+    parts = parse_multipart(body, parse_boundary(ctype))
+    assert parts["patient_details"].text == "67M smoker"
+    assert parts["image"].data == b"\xff\xd8JPEGDATA"
+    assert parts["image"].filename == "x.jpg"
+
+
+def test_items_route(app):
+    status, _, body = call(app, "GET", "/api/items/")
+    assert status.startswith("200")
+    assert json.loads(body) == [{"name": "Item 1"}, {"name": "Item 2"}]
+
+
+def test_predict_route(app, sample_image_paths):
+    img = sample_image_paths[0].read_bytes()
+    body, ctype = multipart_body({"patient_details": "31 year old male, cough"},
+                                 {"image": ("e1.jpg", img, "image/jpeg")})
+    status, _, raw = call(app, "POST", "/api/predict/", body, ctype)
+    assert status.startswith("200"), raw
+    payload = json.loads(raw)
+    assert set(payload) == {"diseases", "report_text"}
+    assert len(payload["diseases"]) == 13
+    from mmdx_tpu.config import DISEASES
+
+    assert [d["name"] for d in payload["diseases"]] == DISEASES
+    for d in payload["diseases"]:
+        assert 0.0 <= d["probability"] <= 100.0  # percentages, 2dp (views.py:92-97)
+        assert round(d["probability"], 2) == d["probability"]
+
+
+def test_predict_json_route(app, sample_image_paths):
+    payload = {
+        "image_base64": base64.b64encode(sample_image_paths[1].read_bytes()).decode(),
+        "patient_details": "78 year old female, fever",
+    }
+    status, _, raw = call(app, "POST", "/api/predict/", json.dumps(payload).encode(),
+                          "application/json")
+    assert status.startswith("200")
+    assert len(json.loads(raw)["diseases"]) == 13
+
+
+def test_predict_missing_image(app):
+    body, ctype = multipart_body({"patient_details": "x"}, {})
+    status, _, raw = call(app, "POST", "/api/predict/", body, ctype)
+    assert status.startswith("400")
+    assert "image" in json.loads(raw)["error"].lower()
+
+
+def test_load_sample_route(app, monkeypatch):
+    monkeypatch.setenv("sample_images", "/root/reference/backend/sample_images")
+    monkeypatch.setenv("sample_details",
+                       "/root/reference/backend/sample_details/patient_details.json")
+    status, _, raw = call(app, "POST", "/api/load-sample/")
+    assert status.startswith("200")
+    payload = json.loads(raw)
+    assert set(payload) == {"image_name", "image_mime", "image_base64", "patient_details"}
+    base64.b64decode(payload["image_base64"])
+
+
+def test_frontend_served(app):
+    status, headers, body = call(app, "GET", "/")
+    assert status.startswith("200")
+    assert b"MMDX" in body
+    assert "text/html" in headers["Content-Type"]
+
+
+def test_scheduler_tick():
+    from mmdx_tpu.scheduler.cron import PeriodicScheduler
+
+    calls = []
+    sched = PeriodicScheduler()
+    sched.add_job("ok", 100, lambda: calls.append(1), run_immediately=True)
+    sched.add_job("boom", 100, lambda: 1 / 0, run_immediately=True)
+    ran = sched._tick()
+    assert set(ran) == {"ok", "boom"}
+    assert calls == [1]
+    assert sched.jobs["boom"].failures == 1
+    assert "ZeroDivisionError" in sched.jobs["boom"].last_error
+    assert sched._tick() == []  # not due again yet
