@@ -48,10 +48,28 @@ def main():
     canon = int(os.environ.get("MMDX_BENCH_CANON", "512"))
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, canon, canon, 1), dtype=np.uint8))
-    ids = jnp.asarray(
-        rng.integers(0, cfg.text.vocab_size, (batch, cfg.text.max_len)), jnp.int32
-    )
-    mask = jnp.ones((batch, cfg.text.max_len), jnp.int32)
+
+    # realistic patient-details inputs through the real tokenizer; the engine's
+    # exact length bucketing (pad tokens are masked out of attention + pooling,
+    # so outputs are invariant) picks the serving pad length
+    import random as _random
+
+    from mmdx_tpu.pipelines.data_prep import synthesize_patient_details
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    _r = _random.Random(0)
+    texts = []
+    for i in range(batch):
+        vec = [0] * 13
+        vec[i % 13] = 1
+        texts.append(synthesize_patient_details(vec, _r))
+    engine = InferenceEngine(bundle, mode="fast")
+    tok = engine.prep_texts(texts)
+    seq = tok["input_ids"].shape[1]
+    log(f"[bench] patient-details tokenized: pad bucket {seq} "
+        f"(longest real {int(tok['attention_mask'].sum(1).max())})")
+    ids = jnp.asarray(tok["input_ids"])
+    mask = jnp.asarray(tok["attention_mask"])
     variables = jax.device_put(bundle.variables, dev)
 
     @functools.partial(jax.jit, static_argnames=("iters",))

@@ -70,7 +70,23 @@ class InferenceEngine:
         return np.stack(canon)
 
     def prep_texts(self, texts: list[str]) -> dict[str, np.ndarray]:
-        return self.bert_tok.encode_batch(texts, max_len=self.bundle.config.text.max_len)
+        """Tokenize to the model's max_len (reference semantics) in parity mode.
+
+        Fast mode buckets the pad length to the smallest of {32, 48, 64, ...}
+        covering the batch's longest sequence: BERT outputs are exactly
+        invariant to trailing pad tokens (they are masked out of attention and
+        of the mean pool), so this is a pure speedup — FFN/QKV FLOPs scale
+        with the padded length the reference always fixes at 96.
+        """
+        max_len = self.bundle.config.text.max_len
+        if self.mode == "fast":
+            enc = self.bert_tok.encode_batch(texts, max_len=max_len)
+            longest = int(enc["attention_mask"].sum(axis=1).max(initial=1))
+            for bucket in (32, 48, 64):
+                if bucket >= longest and bucket < max_len:
+                    return {k: v[:, :bucket] for k, v in enc.items()}
+            return enc
+        return self.bert_tok.encode_batch(texts, max_len=max_len)
 
     # ------------------------------------------------------------------
     # compiled programs
