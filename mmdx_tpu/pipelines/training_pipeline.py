@@ -222,6 +222,9 @@ class TrainingOptions:
     log_every: int = 25  # (:1063)
     publish_model_name: str = "fusion_model_T5"
     log: Callable[[str], None] = field(default=print)
+    # checkpoint/resume (capability beyond the reference, see checkpoints/orbax_io)
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 100
 
 
 def _fetch_training_batch(df, engine, n: int, seed: int):
@@ -325,8 +328,16 @@ def run_training_pipeline(
         weight_decay=opt.weight_decay,
     )
     state = TrainState.create(fusion_vars["params"], tx)
+    start_step = 0
+    if opt.checkpoint_dir:
+        from mmdx_tpu.checkpoints.orbax_io import restore_train_state, save_train_state
+
+        restored, ck_step = restore_train_state(opt.checkpoint_dir, state)
+        if restored is not None:
+            state, start_step = restored, int(ck_step)
+            log(f"[mmdx][fusion] resumed from checkpoint step {start_step}")
     losses["fusion"] = []
-    for step in range(1, opt.fusion_steps + 1):
+    for step in range(start_step + 1, opt.fusion_steps + 1):
         rng, drop = jax.random.split(rng)
         state, (loss, parts) = fusion_train_step(
             fusion_model, tx, state, z_img, z_txt, f_y, f_report_labels, drop,
@@ -337,6 +348,8 @@ def run_training_pipeline(
                 f"[mmdx][fusion] step {step:04d} | cls={float(parts['cls']):.4f} "
                 f"gen={float(parts['gen']):.4f} total={float(loss):.4f}"
             )
+        if opt.checkpoint_dir and step % opt.checkpoint_every == 0:
+            save_train_state(opt.checkpoint_dir, state, step=step)
     fusion_vars = {"params": state.params}
 
     # ---- assemble trained bundle, generate, compute real metrics ----
