@@ -177,6 +177,51 @@ def prepare_raw_dataset(
     return df
 
 
+def hf_dataset_examples(name: str = "itsanmolgupta/mimic-cxr-dataset",
+                        split: str = "train[:100]") -> list[RawExample]:
+    """Load raw examples from the HF dataset the reference uses (reference
+    raw_data_pre_preparation.py:298). Gated: requires hub egress."""
+    import io as _io
+
+    from datasets import load_dataset
+
+    ds = load_dataset(name, split=split)
+    out = []
+    for row in ds:
+        img = row["image"]
+        buf = _io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)  # reference JPEG q95 (:242-257)
+        out.append(RawExample(buf.getvalue(), row.get("findings", "") or "",
+                              row.get("impression", "") or ""))
+    return out
+
+
+def llm_disease_labeler(model: str = "gpt-5"):
+    """LLM-backed labeler factory mirroring the reference's OpenAI labeling
+    (raw_data_pre_preparation.py:74-106). Gated: requires the openai package +
+    API egress; offline deployments use rule_based_disease_labeler."""
+    from openai import OpenAI
+
+    client = OpenAI()
+    names = ", ".join(DISEASES)
+
+    def label(report_text: str) -> list[int]:
+        prompt = (
+            "Given this chest X-ray report, return a comma-separated vector of "
+            f"13 bits (1=present, 0=absent) for: {names}.\nReport: {report_text}"
+        )
+        resp = client.chat.completions.create(
+            model=model, messages=[{"role": "user", "content": prompt}]
+        )
+        bits = re.findall(r"[01]", resp.choices[0].message.content or "")[:13]
+        vec = [int(b) for b in bits] + [0] * (13 - len(bits))
+        if not any(vec):
+            vec[DISEASES.index("No Finding")] = 1
+        return vec
+
+    return label
+
+
 def synthetic_raw_examples(n: int = 16, seed: int = 0) -> list[RawExample]:
     """Generate synthetic raw examples (gray gradient JPEGs + templated reports)
     for tests/dev where the HF source dataset is unavailable."""

@@ -98,18 +98,23 @@ class InferenceEngine:
             cfg = self.bundle.config.image
             on_device_preproc = self.mode == "fast" and len(image_shape) == 4
 
+            precision = "highest" if self.mode == "parity" else "default"
+
             @jax.jit
             def run(variables, images, ids, mask, tt):
-                if on_device_preproc:
-                    x = preprocess_batch_device(
-                        images, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std,
-                        out_dtype=model.dtype,
-                    )
-                else:
-                    x = images
-                out = model.apply(variables, x, ids, mask, tt,
-                                  method=MultiModalDiagnosisModel.classify)
-                return out["probs"], out["z_img"], out["z_txt"]
+                # parity mode forces true-fp32 matmuls (TPU otherwise uses
+                # bf16-multipass for f32 dots)
+                with jax.default_matmul_precision(precision):
+                    if on_device_preproc:
+                        x = preprocess_batch_device(
+                            images, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std,
+                            out_dtype=model.dtype,
+                        )
+                    else:
+                        x = images
+                    out = model.apply(variables, x, ids, mask, tt,
+                                      method=MultiModalDiagnosisModel.classify)
+                    return out["probs"], out["z_img"], out["z_txt"]
 
             self._classify_cache[key] = run
         return self._classify_cache[key]
