@@ -72,6 +72,7 @@ class TextEncoderConfig:
     max_len: int = 96
     pooling: str = "masked_mean"
     pad_token_id: int = 0
+    use_flash_attention: bool = False  # Pallas blockwise attention (ops/pallas_attention)
 
 
 @dataclass(frozen=True)

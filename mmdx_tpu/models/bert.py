@@ -44,12 +44,20 @@ class BertLayer(nn.Module):
             return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-        scores = scores + attention_bias  # [B,1,1,L] additive mask
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+        if cfg.use_flash_attention:
+            from mmdx_tpu.ops.pallas_attention import flash_attention
+
+            ctx = flash_attention(q, k, v, attention_bias,
+                                  scale=1.0 / float(head_dim) ** 0.5)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+            scores = scores + attention_bias  # [B,1,1,L] additive mask
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+            )
         b, _, l, _ = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h).astype(self.dtype)
 
