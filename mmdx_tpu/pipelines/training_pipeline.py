@@ -225,6 +225,9 @@ class TrainingOptions:
     # checkpoint/resume (capability beyond the reference, see checkpoints/orbax_io)
     checkpoint_dir: str | None = None
     checkpoint_every: int = 100
+    # local serving bundle (reference :773-797); None -> default_bundle_path()
+    local_bundle_path: str | None = None
+    save_local_bundle: bool = True
 
 
 def _fetch_training_batch(df, engine, n: int, seed: int):
@@ -271,11 +274,15 @@ def run_training_pipeline(
     image_vars, text_vars, fusion_vars = split_variables(bundle.variables)
     losses: dict[str, list[float]] = {}
 
-    # ---- image tower, two phases ----
+    # ---- image tower, two phases, fed by the prefetching DataLoader ----
+    from mmdx_tpu.pipelines.dataloader import CXRImageDataset, DataLoader
+
     image_model = ImageEncoder(config=cfg.image)
-    _, imgs, tok, y, report_labels = _fetch_training_batch(
-        df, engine, opt.image_batch, opt.seed
+    dataset = CXRImageDataset.from_dataframe(
+        df, img_size=cfg.image.img_size, resize_size=cfg.image.resize_size
     )
+    loader = DataLoader(dataset, batch_size=min(opt.image_batch, len(dataset)),
+                        shuffle=True, seed=opt.seed, drop_last=True)
     for phase, steps in ((1, opt.image_phase1_steps), (2, opt.image_phase2_steps)):
         tx = build_encoder_optimizer(
             image_vars["params"], "backbone", phase,
@@ -285,11 +292,17 @@ def run_training_pipeline(
         state = TrainState.create(image_vars["params"], tx, image_vars["batch_stats"])
         key = f"image_phase{phase}"
         losses[key] = []
-        for _ in range(steps):
-            state, loss = image_train_step(image_model, tx, phase, state, imgs, y)
-            losses[key].append(float(loss))
+        while len(losses[key]) < steps:
+            for imgs, y in loader:
+                state, loss = image_train_step(image_model, tx, phase, state, imgs, y)
+                losses[key].append(float(loss))
+                if len(losses[key]) >= steps:
+                    break
         image_vars = {"params": state.params, "batch_stats": state.batch_stats}
         log(f"[mmdx] image phase {phase}: loss {losses[key]}")
+
+    # text batch (patient details + labels) for the text phases
+    _, _, tok, y, _ = _fetch_training_batch(df, engine, opt.image_batch, opt.seed)
 
     # ---- text tower, two phases ----
     text_model = TextEncoder(config=cfg.text)
@@ -380,7 +393,19 @@ def run_training_pipeline(
         metrics={k: v for k, v in metrics.items() if v == v},  # drop nans
         description="CXR fusion: CNN+Text -> MLP; multi-label disease head; T5 report head.",
     )
+    trained.version = version
     log(f"[mmdx] published {opt.publish_model_name} v{version}")
+
+    if opt.save_local_bundle:
+        # also publish the low-latency local serving bundle, atomically with a
+        # timestamped history copy (reference :773-797)
+        from mmdx_tpu.checkpoints.bundle import save_bundle
+        from mmdx_tpu.pipelines.inference_pipeline import default_bundle_path
+
+        bundle_path = save_bundle(
+            trained, opt.local_bundle_path or default_bundle_path()
+        )
+        log(f"[mmdx] saved local bundle: {bundle_path}")
     return {
         "bundle": trained,
         "version": version,

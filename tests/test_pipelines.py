@@ -103,8 +103,10 @@ def test_training_pipeline_end_to_end(prepared_world, tmp_path):
             image_phase1_steps=2, image_phase2_steps=1, text_steps_per_phase=2,
             fusion_steps=12, fusion_batch=6, image_batch=6, log_every=6,
             log=lambda s: None,
+            local_bundle_path=str(tmp_path / "model_bundle.mmdx"),
         ),
     )
+    assert (tmp_path / "model_bundle.mmdx").exists()
     assert result["version"] == 1
     assert registry.latest_version("fusion_model_T5") == 1
     losses = result["losses"]["fusion"]
