@@ -77,10 +77,17 @@ def build_t5_vocab(corpus: list[str], vocab_size: int = 8192,
     return pieces
 
 
-def default_medical_corpus() -> list[str]:
-    """Synthesized domain corpus (diseases, symptoms, report phrasing, details)."""
+def default_medical_corpus(n_synthetic: int = 3000, seed: int = 7) -> list[str]:
+    """Synthesized domain corpus (diseases, symptoms, report phrasing, and a few
+    thousand sampled patient-details strings covering the serving input space)."""
+    import random
+
     from mmdx_tpu.config import DISEASES
-    from mmdx_tpu.pipelines.data_prep import SYMPTOMS_MAP, REPORT_PHRASES
+    from mmdx_tpu.pipelines.data_prep import (
+        REPORT_PHRASES,
+        SYMPTOMS_MAP,
+        synthesize_patient_details,
+    )
 
     lines: list[str] = []
     lines += [d.lower() for d in DISEASES]
@@ -100,7 +107,19 @@ def default_medical_corpus() -> list[str]:
         "impression : findings consistent with pulmonary edema and cardiomegaly .",
         "recent surgery , diabetes , chest pain , wheezing , fatigue , chills ,",
         "clinical question , key history , medications , oxygen requirement , vitals",
+        "interval improvement . low lung volumes . bibasilar atelectasis .",
+        "endotracheal tube and nasogastric tube in standard position .",
+        "degenerative changes of the thoracic spine . no displaced rib fracture .",
+        "right lower lobe airspace disease concerning for pneumonia versus aspiration .",
+        "mild pulmonary vascular congestion without frank edema .",
+        "stable small left pleural effusion . no new consolidation .",
     ]
+    rng = random.Random(seed)
+    for i in range(n_synthetic):
+        vec = [1 if rng.random() < 0.2 else 0 for _ in range(len(DISEASES))]
+        lines.append(synthesize_patient_details(vec, rng).lower())
+        if i % 3 == 0:
+            lines.append(" ".join(rng.sample(REPORT_PHRASES, 2)).lower())
     return lines
 
 

@@ -1,0 +1,67 @@
+"""Multi-chip path: sharding rules + one sharded dp x tp train step on the
+8-device virtual CPU mesh (what the driver's dryrun_multichip validates)."""
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from mmdx_tpu.parallel.mesh import make_mesh
+from mmdx_tpu.parallel.sharding import spec_for_path, variable_shardings
+
+
+def test_spec_rules():
+    assert spec_for_path("params/text_encoder/bert/layer0/ffn_in/kernel") == P(None, "model")
+    assert spec_for_path("text_encoder/bert/layer3/ffn_out/kernel") == P("model", None)
+    assert spec_for_path("fusion/report_model/decoder_layer0/self_attn/q/kernel") == P(None, "model")
+    assert spec_for_path("fusion/report_model/decoder_layer0/self_attn/o/kernel") == P("model", None)
+    assert spec_for_path("fusion/cond_proj/kernel") == P(None, "model")
+    # replicated: convs, norms, embeddings, heads
+    assert spec_for_path("image_encoder/backbone/conv_stem/kernel") == P()
+    assert spec_for_path("fusion/disease_head/kernel") == P()
+    assert spec_for_path("text_encoder/bert/word_embeddings/embedding") == P()
+
+
+def test_indivisible_falls_back_to_replication():
+    mesh = make_mesh(n_model=2)
+    # ffn kernel with odd output dim can't split 2 ways -> replicate
+    tree = {"ffn_in": {"kernel": np.zeros((8, 7), np.float32)}}
+    sh = variable_shardings(tree, mesh)
+    assert sh["ffn_in"]["kernel"].spec == P()
+    tree = {"ffn_in": {"kernel": np.zeros((8, 8), np.float32)}}
+    sh = variable_shardings(tree, mesh)
+    assert sh["ffn_in"]["kernel"].spec == P(None, "model")
+
+
+@pytest.mark.parametrize("n_model", [1, 2])
+def test_sharded_joint_train_step(n_model):
+    """One real dp x tp step of the full model on the virtual 8-device mesh."""
+    import jax.numpy as jnp
+
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
+    from mmdx_tpu.parallel.sharding import shard_batch, shard_variables
+    from mmdx_tpu.parallel.train import (
+        build_joint_optimizer,
+        make_joint_batch,
+        make_sharded_train_step,
+    )
+    from mmdx_tpu.pipelines.training_pipeline import TrainState
+
+    mesh = make_mesh(n_model=n_model)
+    bundle = new_random_bundle(seed=0, small=True)
+    model = MultiModalDiagnosisModel(config=bundle.config)
+    variables = shard_variables(bundle.variables, mesh)
+    tx = build_joint_optimizer(variables["params"])
+    state = TrainState.create(variables["params"], tx, variables.get("batch_stats", {}))
+    batch = make_joint_batch(jax.random.key(0), bundle.config, 8, report_len=8)
+    batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+
+    step_fn = make_sharded_train_step(model, tx, mesh, state, batch)
+    new_state, loss = step_fn(state, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert int(new_state.step) == 1
+    # tp-sharded params keep their sharding after the update
+    if n_model == 2:
+        k = new_state.params["fusion"]["cond_proj"]["kernel"]
+        assert k.sharding.spec == P(None, "model")
