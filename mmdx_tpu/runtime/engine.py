@@ -63,7 +63,16 @@ class InferenceEngine:
                 preprocess_exact(a, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std)
                 for a in arrays
             ])
-        canon = [to_canonical_u8(a, self.canonical_size) for a in arrays]
+        # fast mode: when the batch shares one raw shape (the common case —
+        # medical archives are uniform), feed it directly: the fused resize+crop
+        # matrices are built per shape, preserving the reference's exact
+        # shorter-side-256 + center-crop geometry. Mixed shapes fall back to a
+        # square host canonicalization.
+        shapes = {a.shape[:2] for a in arrays}
+        if len(shapes) == 1:
+            canon = [a[:, :, None] if a.ndim == 2 else a for a in arrays]
+        else:
+            canon = [to_canonical_u8(a, self.canonical_size) for a in arrays]
         ch = max(c.shape[-1] for c in canon)
         if ch == 3:
             canon = [np.repeat(c, 3, -1) if c.shape[-1] == 1 else c for c in canon]
@@ -163,9 +172,72 @@ class InferenceEngine:
             self._generate_cache[key] = run
         return self._generate_cache[key]
 
+    def _tower_fn(self, which: str, shape_key):
+        key = (which, shape_key)
+        if key not in self._classify_cache:
+            model = self.model
+            cfg = self.bundle.config.image
+            on_device_preproc = self.mode == "fast"
+
+            if which == "image":
+                from mmdx_tpu.models.resnet import ImageEncoder
+
+                tower = ImageEncoder(config=cfg, dtype=model.dtype)
+
+                @jax.jit
+                def run(variables, images):
+                    x = (
+                        preprocess_batch_device(
+                            images, cfg.img_size, cfg.resize_size, cfg.mean,
+                            cfg.std, out_dtype=model.dtype,
+                        )
+                        if on_device_preproc and images.dtype == jnp.uint8
+                        else images
+                    )
+                    out = tower.apply(
+                        {
+                            "params": variables["params"]["image_encoder"],
+                            "batch_stats": variables["batch_stats"]["image_encoder"],
+                        },
+                        x, train=False,
+                    )
+                    return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+            else:
+                from mmdx_tpu.models.bert import TextEncoder
+
+                tower = TextEncoder(config=self.bundle.config.text, dtype=model.dtype)
+
+                @jax.jit
+                def run(variables, ids, mask, tt):
+                    out = tower.apply(
+                        {"params": variables["params"]["text_encoder"]}, ids, mask, tt
+                    )
+                    return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+
+            self._classify_cache[key] = run
+        return self._classify_cache[key]
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def classify_image_batch(self, images) -> np.ndarray:
+        """Single-modality: image -> warm-up classifier probs [B, 13]
+        (BASELINE config 1: image-only CNN classification)."""
+        imgs = self.prep_images(images)
+        fn = self._tower_fn("image", tuple(imgs.shape))
+        return np.asarray(fn(self.variables, imgs), np.float32)
+
+    def classify_text_batch(self, texts: list[str]) -> np.ndarray:
+        """Single-modality: free-text -> warm-up classifier probs [B, 13]
+        (BASELINE config 2: report-only text classification)."""
+        tok = self.prep_texts(texts)
+        fn = self._tower_fn("text", tok["input_ids"].shape[1])
+        return np.asarray(
+            fn(self.variables, tok["input_ids"], tok["attention_mask"],
+               tok["token_type_ids"]),
+            np.float32,
+        )
+
     def classify_batch(self, images, texts: list[str]):
         """-> (probs [B,13] np.float32, z_img, z_txt)."""
         imgs = self.prep_images(images)

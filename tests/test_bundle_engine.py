@@ -83,3 +83,14 @@ def test_classification_batched(small_bundle, rng):
     probs, z_img, z_txt = engine.classify_batch(imgs, texts)
     assert probs.shape == (4, 13)
     assert z_img.shape[0] == 4 and z_txt.shape[0] == 4
+
+
+def test_single_modality_classification(small_bundle, rng):
+    """BASELINE configs 1-2: image-only and text-only classification via the
+    warm-up classifier heads."""
+    engine = InferenceEngine(small_bundle, mode="parity")
+    imgs = [rng.integers(0, 256, (160, 160), dtype=np.uint8) for _ in range(2)]
+    p_img = engine.classify_image_batch(imgs)
+    assert p_img.shape == (2, 13) and np.all((p_img >= 0) & (p_img <= 1))
+    p_txt = engine.classify_text_batch(["67M smoker dyspnea", "54F cough"])
+    assert p_txt.shape == (2, 13) and np.all((p_txt >= 0) & (p_txt <= 1))
