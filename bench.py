@@ -44,7 +44,7 @@ def main():
     cfg = bundle.config
     model = MultiModalDiagnosisModel(config=cfg, dtype=jnp.bfloat16)
 
-    batch = int(os.environ.get("MMDX_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("MMDX_BENCH_BATCH", "512"))
     canon = int(os.environ.get("MMDX_BENCH_CANON", "512"))
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, canon, canon, 1), dtype=np.uint8))

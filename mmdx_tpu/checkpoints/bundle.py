@@ -211,10 +211,9 @@ def new_random_bundle(seed: int = 0, config: DiagnosisConfig | None = None,
                 ),
             )
         else:
-            config = DiagnosisConfig(
-                text=TextEncoderConfig(vocab_size=len(bert_vocab)),
-                report=ReportDecoderConfig(vocab_size=len(t5_vocab)),
-            )
+            # full reference dims (BERT-base 30522 vocab, T5-small 32128); the
+            # shipped tokenizer vocabs map into the low id range
+            config = DiagnosisConfig()
     _, variables = init_diagnosis_model(jax.random.key(seed), config)
     return ModelBundle(
         config=config,

@@ -34,18 +34,35 @@ from mmdx_tpu.ops.preprocess import preprocess_batch_device, preprocess_exact
 
 class InferenceEngine:
     def __init__(self, bundle: ModelBundle, mode: str = "parity",
-                 canonical_size: int = 512):
+                 canonical_size: int = 512, mesh=None):
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — weights
+        replicate (with tp shards per parallel/sharding rules), batches shard
+        over the "data" axis. None = single device."""
         assert mode in ("parity", "fast")
         self.bundle = bundle
         self.mode = mode
         self.canonical_size = canonical_size
+        self.mesh = mesh
         self.dtype = jnp.float32 if mode == "parity" else jnp.bfloat16
         self.model = MultiModalDiagnosisModel(config=bundle.config, dtype=self.dtype)
-        self.variables = bundle.variables
+        if mesh is not None:
+            from mmdx_tpu.parallel.sharding import shard_variables
+
+            self.variables = shard_variables(bundle.variables, mesh)
+        else:
+            self.variables = bundle.variables
         self.bert_tok, self.t5_tok = bundle.tokenizers()
         self.thresholds = np.asarray(bundle.thresholds, np.float32)
         self._classify_cache: dict[Any, Any] = {}
         self._generate_cache: dict[Any, Any] = {}
+
+    def _shard_inputs(self, *arrays):
+        """Place batch arrays on the mesh (leading axis over "data")."""
+        if self.mesh is None:
+            return arrays
+        from mmdx_tpu.parallel.sharding import shard_batch
+
+        return tuple(shard_batch(list(arrays), self.mesh))
 
     # ------------------------------------------------------------------
     # host-side input prep
@@ -243,8 +260,10 @@ class InferenceEngine:
         imgs = self.prep_images(images)
         tok = self.prep_texts(texts)
         fn = self._classify_fn(tuple(imgs.shape))
-        probs, z_img, z_txt = fn(self.variables, imgs, tok["input_ids"],
-                                 tok["attention_mask"], tok["token_type_ids"])
+        imgs, ids, mask, tt = self._shard_inputs(
+            imgs, tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
+        )
+        probs, z_img, z_txt = fn(self.variables, imgs, ids, mask, tt)
         return np.asarray(probs, np.float32), z_img, z_txt
 
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,

@@ -65,3 +65,21 @@ def test_sharded_joint_train_step(n_model):
     if n_model == 2:
         k = new_state.params["fusion"]["cond_proj"]["kernel"]
         assert k.sharding.spec == P(None, "model")
+
+
+def test_multichip_inference_engine(rng):
+    """Data-parallel serving over the virtual 8-device mesh matches single-device."""
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    bundle = new_random_bundle(seed=0, small=True)
+    imgs = [rng.integers(0, 256, (96, 96), dtype=np.uint8) for _ in range(8)]
+    texts = [f"patient {i} cough fever" for i in range(8)]
+
+    single = InferenceEngine(bundle, mode="parity")
+    p1, _, _ = single.classify_batch(imgs, texts)
+
+    mesh = make_mesh(n_model=1)
+    multi = InferenceEngine(bundle, mode="parity", mesh=mesh)
+    p8, _, _ = multi.classify_batch(imgs, texts)
+    np.testing.assert_allclose(p1, p8, rtol=1e-5, atol=1e-6)
