@@ -120,6 +120,23 @@ def main():
     log(f"[bench] steady state: {best * 1e3:.2f} ms/batch of {batch} "
         f"-> {throughput:.0f} inferences/s/chip")
 
+    # optional secondary: report-generation throughput (beam-4, 150-180 tokens)
+    if os.environ.get("MMDX_BENCH_GEN", "0") == "1":
+        from mmdx_tpu.runtime.engine import InferenceEngine as _Eng
+
+        gen_engine = engine
+        gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "32"))
+        z_img = jnp.zeros((gb, cfg.fusion.d_img), jnp.float32)
+        z_txt = jnp.zeros((gb, cfg.fusion.d_txt), jnp.float32)
+        t0 = time.perf_counter()
+        gen_engine.generate_reports(z_img, z_txt)
+        log(f"[bench] beam-4 generate compile+first: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        gen_engine.generate_reports(z_img, z_txt)
+        dt = time.perf_counter() - t0
+        log(f"[bench] beam-4 150-180tok generation: {gb / dt:.1f} reports/s/chip "
+            f"({dt / gb * 1e3:.0f} ms/report amortized)")
+
     baseline = 5000.0  # BASELINE.json north-star target
     print(json.dumps({
         "metric": "fused image+report inferences/sec/chip (batched multimodal classify, on-device preproc, bf16)",
