@@ -18,7 +18,7 @@ from mmdx_tpu.runtime.engine import InferenceEngine
 
 DEFAULT_MODEL_NAME = "fusion_model_T5"  # the reference's registry name (views.py:44)
 
-_ENGINES: dict[int, InferenceEngine] = {}
+_ENGINES: dict[tuple, InferenceEngine] = {}
 _BUNDLE: ModelBundle | None = None
 _LOCK = threading.Lock()
 

@@ -94,3 +94,13 @@ def test_single_modality_classification(small_bundle, rng):
     assert p_img.shape == (2, 13) and np.all((p_img >= 0) & (p_img <= 1))
     p_txt = engine.classify_text_batch(["67M smoker dyspnea", "54F cough"])
     assert p_txt.shape == (2, 13) and np.all((p_txt >= 0) & (p_txt <= 1))
+
+
+def test_engine_default_generation_config(small_bundle, sample_image_paths):
+    """The reference's real generation settings (beam 4, min 150 / max 180,
+    no-repeat-3, length penalty 1.1) run end-to-end on the small model."""
+    engine = InferenceEngine(small_bundle, mode="parity")
+    out = engine.infer(sample_image_paths[0].read_bytes(), "44 year old female PA view")
+    assert isinstance(out["report_text"], str)
+    # min_new_tokens forces a long generation; t5-style decode yields words
+    assert len(out["report_text"]) > 0
