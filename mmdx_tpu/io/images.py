@@ -31,6 +31,22 @@ def decode_image(src: Union[bytes, bytearray, "Image.Image", np.ndarray]) -> np.
     return np.asarray(img, dtype=np.uint8)
 
 
+def decode_images(sources, workers: int | None = None) -> list[np.ndarray]:
+    """Threaded batch decode (PIL/libjpeg-turbo releases the GIL, ~2ms per
+    512x512 JPEG per core — the host-side data plane scales with cores)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    sources = list(sources)
+    if len(sources) <= 2:
+        return [decode_image(s) for s in sources]
+    workers = workers or min(len(sources), os.cpu_count() or 1)
+    if workers <= 1:
+        return [decode_image(s) for s in sources]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(decode_image, sources))
+
+
 def to_canonical_u8(img: np.ndarray, size: int = 512) -> np.ndarray:
     """Letterbox-free canonicalization for fixed-shape device preprocessing.
 

@@ -26,7 +26,7 @@ from mmdx_tpu.checkpoints.bundle import ModelBundle
 from mmdx_tpu.config import GenerationConfig
 from mmdx_tpu.decode.beam_search import beam_expand, beam_search, make_generation_kwargs
 from mmdx_tpu.decode.greedy import greedy_decode
-from mmdx_tpu.io.images import decode_image, to_canonical_u8
+from mmdx_tpu.io.images import decode_image, decode_images, to_canonical_u8
 from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
 from mmdx_tpu.models.fusion import FusionModel
 from mmdx_tpu.ops.preprocess import preprocess_batch_device, preprocess_exact
@@ -74,7 +74,7 @@ class InferenceEngine:
         fast:   canonical uint8 -> [B, C, C, ch] (preprocessing runs on device)
         """
         cfg = self.bundle.config.image
-        arrays = [decode_image(im) for im in images]
+        arrays = decode_images(images)
         if self.mode == "parity":
             return np.stack([
                 preprocess_exact(a, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std)
