@@ -139,8 +139,13 @@ class DiagnosisApp:
         })
 
     def _load_sample(self, start_response):
+        pkg_samples = Path(__file__).resolve().parent / "sample_data"
         images_dir = Path(os.getenv("sample_images", "sample_images/"))
         details_json = Path(os.getenv("sample_details", "sample_details/patient_details.json"))
+        if not images_dir.exists() and (pkg_samples / "sample_images").exists():
+            # fall back to the packaged synthetic samples
+            images_dir = pkg_samples / "sample_images"
+            details_json = pkg_samples / "patient_details.json"
         if not images_dir.exists():
             return self._json(start_response, 500,
                               {"error": f"Images dir not found: {images_dir.resolve()}"})

@@ -132,3 +132,15 @@ def test_scheduler_tick():
     assert sched.jobs["boom"].failures == 1
     assert "ZeroDivisionError" in sched.jobs["boom"].last_error
     assert sched._tick() == []  # not due again yet
+
+
+def test_load_sample_packaged_fallback(app, monkeypatch, tmp_path):
+    """Without env overrides and no local dirs, the packaged samples serve."""
+    monkeypatch.delenv("sample_images", raising=False)
+    monkeypatch.delenv("sample_details", raising=False)
+    monkeypatch.chdir(tmp_path)
+    status, _, raw = call(app, "POST", "/api/load-sample/")
+    assert status.startswith("200"), raw
+    payload = json.loads(raw)
+    assert payload["image_name"] in {"s1.jpg", "s2.jpg"}
+    assert "year old" in payload["patient_details"]
