@@ -73,6 +73,7 @@ class TextEncoderConfig:
     pooling: str = "masked_mean"
     pad_token_id: int = 0
     use_flash_attention: bool = False  # Pallas blockwise attention (ops/pallas_attention)
+    use_fused_ffn: bool = False  # Pallas fused FFN+residual+LN (ops/pallas_ffn)
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,33 @@ from mmdx_tpu.ops.pooling import masked_mean_pool
 NEG_INF = -1e9
 
 
+class _LinearParams(nn.Module):
+    """Declares Dense-compatible params ('kernel','bias') without computing —
+    used by the fused-FFN path so the param tree matches the nn.Dense layout."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features_out,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s, b
+
+
 class BertLayer(nn.Module):
     config: TextEncoderConfig
     dtype: Any = jnp.float32
@@ -66,6 +93,22 @@ class BertLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_ln")(
             hidden + attn_out
         )
+
+        if cfg.use_fused_ffn and deterministic:
+            from mmdx_tpu.ops.pallas_ffn import fused_ffn_ln
+
+            wi, bi = _LinearParams(h, cfg.intermediate_size, name="ffn_in")()
+            wo, bo = _LinearParams(cfg.intermediate_size, h, name="ffn_out")()
+            ln_s, ln_b = _LayerNormParams(h, name="ffn_ln")()
+            b, l, _ = hidden.shape
+            out = fused_ffn_ln(
+                hidden.reshape(b * l, h),
+                wi.astype(self.dtype), bi.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype),
+                ln_s.astype(self.dtype), ln_b.astype(self.dtype),
+                eps=cfg.layer_norm_eps,
+            )
+            return out.reshape(b, l, h)
 
         ffn = dense(cfg.intermediate_size, "ffn_in")(hidden)
         ffn = jax.nn.gelu(ffn, approximate=False)

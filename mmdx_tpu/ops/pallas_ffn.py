@@ -1,0 +1,72 @@
+"""Pallas fused transformer-FFN block: LN-residual + GELU MLP in one kernel.
+
+Computes BERT's post-LN feed-forward block (models/bert.py):
+
+    out = LayerNorm(hidden + (gelu(hidden @ Wi + bi) @ Wo + bo))
+
+in a single kernel, tiled over rows.  The [rows, d_ff] intermediate, the
+residual add, and the LayerNorm statistics all stay in VMEM — the XLA path
+round-trips the d_ff intermediate (at serving batch 512 x 48 tokens x 3072
+that's ~300MB of HBM traffic per layer per direction) plus separate residual
+and LN passes.  Both weight matrices (~9.4MB bf16 for BERT-base) fit in VMEM
+alongside a 256-row block.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, ln_scale_ref, ln_bias_ref,
+                out_ref, *, eps: float):
+    x = x_ref[...]  # [BM, H]
+    mid = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+    mid = mid + bi_ref[...].astype(jnp.float32)
+    mid = jax.nn.gelu(mid, approximate=False).astype(x.dtype)
+    y = jnp.dot(mid, wo_ref[...], preferred_element_type=jnp.float32)
+    y = y + bo_ref[...].astype(jnp.float32) + x.astype(jnp.float32)  # residual
+    # LayerNorm over the feature dim, fp32 stats
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    normed = (y - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (
+        normed * ln_scale_ref[...].astype(jnp.float32)
+        + ln_bias_ref[...].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "eps"))
+def fused_ffn_ln(x, wi, bi, wo, bo, ln_scale, ln_bias, block_rows: int = 256,
+                 eps: float = 1e-12):
+    """x: [M, H] (flatten batch x seq first). Returns LayerNorm(x + MLP(x)).
+
+    M is padded to a multiple of block_rows (junk rows computed then cropped).
+    """
+    m, h = x.shape
+    f = wi.shape[1]
+    bm = min(block_rows, max(8, m))
+    pad = -m % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    grid = ((m + pad) // bm,)
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m + pad, h), x.dtype),
+    )(x, wi, bi[None, :], wo, bo[None, :], ln_scale[None, :], ln_bias[None, :])
+    return out[:m]

@@ -75,3 +75,53 @@ def test_bert_with_flash_attention_matches(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(flash_model.apply(variables, ids, mask)["embeddings"])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ffn_kernel_matches(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mmdx_tpu.ops.pallas_ffn import fused_ffn_ln
+
+    m, h, f = 70, 32, 64  # ragged rows exercise padding
+    x = rng.standard_normal((m, h)).astype(np.float32)
+    wi = rng.standard_normal((h, f)).astype(np.float32) * 0.1
+    bi = rng.standard_normal((f,)).astype(np.float32) * 0.1
+    wo = rng.standard_normal((f, h)).astype(np.float32) * 0.1
+    bo = rng.standard_normal((h,)).astype(np.float32) * 0.1
+    s = rng.standard_normal((h,)).astype(np.float32)
+    b = rng.standard_normal((h,)).astype(np.float32)
+
+    mid = jax.nn.gelu(x @ wi + bi, approximate=False)
+    y = np.asarray(mid @ wo + bo + x)
+    mean = y.mean(-1, keepdims=True)
+    var = y.var(-1, keepdims=True)
+    want = (y - mean) / np.sqrt(var + 1e-12) * s + b
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_ffn_ln(x, wi, bi, wo, bo, s, b, block_rows=32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bert_with_fused_ffn_matches(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import dataclasses
+    import jax as _jax
+
+    from mmdx_tpu.config import TextEncoderConfig
+    from mmdx_tpu.models.bert import TextEncoder, init_text_encoder
+
+    cfg = TextEncoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, d_txt=16, max_len=24, max_position_embeddings=32,
+    )
+    model, variables = init_text_encoder(_jax.random.key(0), cfg)
+    ids = rng.integers(0, 128, (2, 24)).astype(np.int32)
+    mask = np.ones((2, 24), np.int32)
+    mask[1, 9:] = 0
+    want = np.asarray(model.apply(variables, ids, mask)["embeddings"])
+
+    fused = TextEncoder(config=dataclasses.replace(cfg, use_fused_ffn=True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused.apply(variables, ids, mask)["embeddings"])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
