@@ -61,8 +61,16 @@ class LocalModelRegistry:
         (d / "config.json").write_text(
             json.dumps(bundle.config.to_reference_json(), indent=2)
         )
+        # model schema (reference registers a hsml ModelSchema
+        # [1, d_img+d_txt] -> [1, n_disease], training_pipeline.py:733-745)
+        f = bundle.config.fusion
+        schema = {
+            "input": [1, f.d_img + f.d_txt],
+            "output": [1, f.n_disease],
+        }
         (d / "metrics.json").write_text(
-            json.dumps({"metrics": metrics or {}, "description": description}, indent=2)
+            json.dumps({"metrics": metrics or {}, "description": description,
+                        "model_schema": schema}, indent=2)
         )
         return version
 
