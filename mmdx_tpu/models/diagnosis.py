@@ -63,8 +63,9 @@ class MultiModalDiagnosisModel(nn.Module):
         """Fusion + conditioning + fresh KV cache for the decode loop."""
         return self.fusion.cond_and_cache(z_img, z_txt, max_len)
 
-    def decode_step(self, token_ids, pos, cache, self_bias, enc_mask):
-        return self.fusion.decode_step(token_ids, pos, cache, self_bias, enc_mask)
+    def decode_step(self, token_ids, pos, cache, static_kv, self_bias, enc_mask):
+        return self.fusion.decode_step(token_ids, pos, cache, static_kv,
+                                       self_bias, enc_mask)
 
     def __call__(self, images, input_ids, attention_mask, token_type_ids=None,
                  report_labels=None, train: bool = False):

@@ -81,16 +81,18 @@ class FusionModel(nn.Module):
         """Prepare conditioning tokens + KV cache for incremental generation."""
         z_fuse = self.fuse(z_img, z_txt, deterministic=True)
         cond = self.make_cond_tokens(z_fuse)
-        cache = self.report_model.init_cache(cond.shape[0], max_len, cond)
+        cache, static_kv = self.report_model.init_cache(cond.shape[0], max_len, cond)
         self_bias = self.report_model.decode_self_bias(max_len)
         enc_mask = jnp.ones(cond.shape[:2], jnp.int32)
         return {
             "disease_logits": self.disease_head(z_fuse),
             "cond": cond,
             "cache": cache,
+            "static_kv": static_kv,
             "self_bias": self_bias,
             "enc_mask": enc_mask,
         }
 
-    def decode_step(self, token_ids, pos, cache, self_bias, enc_mask):
-        return self.report_model.decode_step(token_ids, pos, cache, self_bias, enc_mask)
+    def decode_step(self, token_ids, pos, cache, static_kv, self_bias, enc_mask):
+        return self.report_model.decode_step(token_ids, pos, cache, static_kv,
+                                             self_bias, enc_mask)

@@ -202,18 +202,24 @@ class T5DecoderLayer(nn.Module):
         hidden = hidden + self.ffn_wo(nn.relu(self.ffn_wi(y)))
         return hidden
 
-    def step(self, hidden_tok, cache, pos, self_bias_row, enc_bias):
-        """One-token decode step; cache = {k, v, ck, cv} for this layer."""
+    def step(self, hidden_tok, cache, static_kv, pos, self_bias_row, enc_bias):
+        """One-token decode step.
+
+        cache = {k, v} self-attention buffers (carried + beam-gathered each
+        step); static_kv = {ck, cv} cross-attention projections of the encoder
+        outputs — constant for a generation, so they live OUTSIDE the carried
+        cache (beams of one sample share identical values; gathering/copying
+        them every step is pure waste)."""
         y = self.self_ln(hidden_tok)
-        attn, ck_, cv_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
+        attn, k_, v_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
         q = self.cross_attn._split(self.cross_attn.q(y))
-        ctx = self.cross_attn.attend(q, cache["ck"], cache["cv"], enc_bias)
+        ctx = self.cross_attn.attend(q, static_kv["ck"], static_kv["cv"], enc_bias)
         hidden_tok = hidden_tok + self.cross_attn.o(self.cross_attn._merge(ctx))
         y = self.ffn_ln(hidden_tok)
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
-        return hidden_tok, {"k": ck_, "v": cv_, "ck": cache["ck"], "cv": cache["cv"]}
+        return hidden_tok, {"k": k_, "v": v_}
 
 
 class T5(nn.Module):
@@ -307,15 +313,19 @@ class T5(nn.Module):
 
     # ------------------------------------------------------------------
     def init_cache(self, batch: int, max_len: int, encoder_hidden):
-        """Build the explicit decode cache: per-layer self-attn K/V buffers plus
-        precomputed cross-attention K/V over the encoder outputs."""
+        """Build the decode state: (cache, static_kv) where cache holds the
+        per-layer self-attention K/V buffers (carried through the decode loop,
+        beam-reordered each step) and static_kv holds the precomputed
+        cross-attention K/V over the encoder outputs (loop constants)."""
         cfg = self.config
         cache = []
+        static_kv = []
         for layer in self.decoder_layers:
             ck, cv = layer.cross_attn.project_kv(encoder_hidden)
             zeros = jnp.zeros((batch, cfg.num_heads, max_len, cfg.d_kv), self.dtype)
-            cache.append({"k": zeros, "v": zeros, "ck": ck, "cv": cv})
-        return cache
+            cache.append({"k": zeros, "v": zeros})
+            static_kv.append({"ck": ck, "cv": cv})
+        return cache, static_kv
 
     def decode_self_bias(self, max_len: int):
         """Full causal position bias [1, heads, max_len, max_len] precomputed
@@ -332,14 +342,16 @@ class T5(nn.Module):
         causal = jnp.tril(jnp.ones((max_len, max_len), jnp.float32))
         return bias + (1.0 - causal)[None, None] * NEG_INF
 
-    def decode_step(self, token_ids, pos, cache, self_bias_full, encoder_mask):
+    def decode_step(self, token_ids, pos, cache, static_kv, self_bias_full,
+                    encoder_mask):
         """token_ids [B,1] at position ``pos`` -> (logits [B,vocab], new cache)."""
         hidden = self.shared(token_ids)  # [B,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)  # [1,h,1,Lmax]
         enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
         new_cache = []
-        for layer, layer_cache in zip(self.decoder_layers, cache):
-            hidden, lc = layer.step(hidden, layer_cache, pos, bias_row, enc_bias)
+        for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
+            hidden, lc = layer.step(hidden, layer_cache, layer_static, pos,
+                                    bias_row, enc_bias)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
         return self._lm_logits(hidden)[:, 0], new_cache

@@ -21,12 +21,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7).
+
+    Mosaic has no erf/erfc lowering; this keeps the kernel's exact-GELU within
+    f32 rounding of jax.nn.gelu(approximate=False).
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _ffn_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, ln_scale_ref, ln_bias_ref,
                 out_ref, *, eps: float):
     x = x_ref[...]  # [BM, H]
     mid = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
     mid = mid + bi_ref[...].astype(jnp.float32)
-    mid = jax.nn.gelu(mid, approximate=False).astype(x.dtype)
+    mid = _gelu_exact(mid).astype(x.dtype)
     y = jnp.dot(mid, wo_ref[...], preferred_element_type=jnp.float32)
     y = y + bo_ref[...].astype(jnp.float32) + x.astype(jnp.float32)  # residual
     # LayerNorm over the feature dim, fp32 stats

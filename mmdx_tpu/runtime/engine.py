@@ -160,15 +160,16 @@ class InferenceEngine:
                 zi = beam_expand(z_img, nb) if nb > 1 else z_img
                 zt = beam_expand(z_txt, nb) if nb > 1 else z_txt
                 prep = model.apply(variables, zi, zt, lmax, method=fusion_method)
-                # self_bias is shared (leading dim 1) and enc_mask is constant
-                # ones: close over them instead of carrying them in the
-                # beam-reordered cache pytree.
+                # loop constants (cross-attn KV, shared bias, enc mask) are
+                # closed over — only the self-attn KV buffers ride the
+                # beam-reordered carried cache.
+                static_kv = prep["static_kv"]
                 self_bias, enc_mask = prep["self_bias"], prep["enc_mask"]
 
                 def step_fn(tokens, pos, layers):
                     return model.apply(
-                        variables, tokens, pos, layers, self_bias, enc_mask,
-                        method=MultiModalDiagnosisModel.decode_step,
+                        variables, tokens, pos, layers, static_kv, self_bias,
+                        enc_mask, method=MultiModalDiagnosisModel.decode_step,
                     )
 
                 cache = prep["cache"]

@@ -51,14 +51,14 @@ def _hf_generate(oracle, cond, **kw):
         ).numpy()
 
 
-def _our_step_fn(model, variables, self_bias, enc_mask):
+def _our_step_fn(model, variables, static_kv, self_bias, enc_mask):
     import jax.numpy as jnp
 
     enc_mask = jnp.asarray(enc_mask)
 
     def step_fn(tokens, pos, cache):
-        return model.apply(variables, tokens, pos, cache, self_bias, enc_mask,
-                           method=T5.decode_step)
+        return model.apply(variables, tokens, pos, cache, static_kv, self_bias,
+                           enc_mask, method=T5.decode_step)
 
     return step_fn
 
@@ -95,10 +95,11 @@ def test_beam_search_token_parity(pair, rng, gen_kw):
     nb = gen_kw["num_beams"]
     lmax = 1 + gen_kw["max_new_tokens"]
     cond_j = jnp.asarray(beam_expand(cond, nb))
-    cache = model.apply(variables, B * nb, lmax, cond_j, method=T5.init_cache)
+    cache, static_kv = model.apply(variables, B * nb, lmax, cond_j,
+                                   method=T5.init_cache)
     self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
     enc_mask = np.ones((B * nb, K), np.int32)
-    step_fn = _our_step_fn(model, variables, self_bias, enc_mask)
+    step_fn = _our_step_fn(model, variables, static_kv, self_bias, enc_mask)
 
     ours, _ = beam_search(
         step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
@@ -118,10 +119,11 @@ def test_greedy_token_parity(pair, rng):
         min_new_tokens=3, no_repeat_ngram_size=3,
     )
     lmax = 1 + 18
-    cache = model.apply(variables, B, lmax, jnp.asarray(cond), method=T5.init_cache)
+    cache, static_kv = model.apply(variables, B, lmax, jnp.asarray(cond),
+                                   method=T5.init_cache)
     self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
     enc_mask = np.ones((B, K), np.int32)
-    step_fn = _our_step_fn(model, variables, self_bias, enc_mask)
+    step_fn = _our_step_fn(model, variables, static_kv, self_bias, enc_mask)
     ours = greedy_decode(
         step_fn, cache, batch=B, vocab_size=cfg.vocab_size, max_new_tokens=18,
         min_new_tokens=3, no_repeat_ngram_size=3, eos_token_id=1, pad_token_id=0,

@@ -117,7 +117,8 @@ def test_incremental_decode_matches_full(pair, rng):
 
     full = np.asarray(model.apply(variables, tokens, cond, enc_mask, method=T5.decode))
 
-    cache = model.apply(variables, B, L, jnp.asarray(cond), method=T5.init_cache)
+    cache, static_kv = model.apply(variables, B, L, jnp.asarray(cond),
+                                   method=T5.init_cache)
     self_bias = model.apply(variables, L, method=T5.decode_self_bias)
     step_logits = []
     for pos in range(L):
@@ -126,6 +127,7 @@ def test_incremental_decode_matches_full(pair, rng):
             tokens[:, pos : pos + 1],
             pos,
             cache,
+            static_kv,
             self_bias,
             jnp.asarray(enc_mask),
             method=T5.decode_step,
