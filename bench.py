@@ -40,9 +40,14 @@ def main():
     dev = jax.devices()[0]
     log(f"[bench] device: {dev.device_kind} ({jax.default_backend()})")
 
+    import dataclasses
+
     bundle = new_random_bundle(seed=0)  # full-size ResNet-50 + BERT-base stack
     cfg = bundle.config
-    model = MultiModalDiagnosisModel(config=cfg, dtype=jnp.bfloat16)
+    model_cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, use_fused_ffn=True)
+    )
+    model = MultiModalDiagnosisModel(config=model_cfg, dtype=jnp.bfloat16)
 
     batch = int(os.environ.get("MMDX_BENCH_BATCH", "512"))
     canon = int(os.environ.get("MMDX_BENCH_CANON", "512"))

@@ -44,7 +44,19 @@ class InferenceEngine:
         self.canonical_size = canonical_size
         self.mesh = mesh
         self.dtype = jnp.float32 if mode == "parity" else jnp.bfloat16
-        self.model = MultiModalDiagnosisModel(config=bundle.config, dtype=self.dtype)
+        model_config = bundle.config
+        if mode == "fast":
+            # Pallas fused FFN+LN in the text tower (~10% tower speedup; bf16-
+            # rounding-level output differences only). Parity mode stays on the
+            # op-by-op XLA path.
+            import dataclasses
+
+            model_config = dataclasses.replace(
+                model_config,
+                text=dataclasses.replace(model_config.text, use_fused_ffn=True),
+            )
+        self.model_config = model_config
+        self.model = MultiModalDiagnosisModel(config=model_config, dtype=self.dtype)
         if mesh is not None:
             from mmdx_tpu.parallel.sharding import shard_variables
 
@@ -223,7 +235,7 @@ class InferenceEngine:
             else:
                 from mmdx_tpu.models.bert import TextEncoder
 
-                tower = TextEncoder(config=self.bundle.config.text, dtype=model.dtype)
+                tower = TextEncoder(config=self.model_config.text, dtype=model.dtype)
 
                 @jax.jit
                 def run(variables, ids, mask, tt):

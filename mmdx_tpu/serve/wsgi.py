@@ -194,12 +194,20 @@ def make_app(**kwargs) -> DiagnosisApp:
 
 
 def main():
-    """Dev server: python -m mmdx_tpu.serve.wsgi (PORT env, default 8000)."""
+    """Dev server: python -m mmdx_tpu.serve.wsgi.
+
+    Env: PORT (8000); MMDX_ENGINE_MODE=parity|fast; MMDX_GENERATE=1|0
+    (report generation on/off); MMDX_BUNDLE_PATH (model bundle).
+    """
     from wsgiref.simple_server import make_server
 
     port = int(os.getenv("PORT", "8000"))
-    app = make_app()
-    print(f"[mmdx] serving on http://0.0.0.0:{port}")
+    app = make_app(
+        engine_mode=os.getenv("MMDX_ENGINE_MODE", "parity"),
+        generate_reports=os.getenv("MMDX_GENERATE", "1") == "1",
+    )
+    print(f"[mmdx] serving on http://0.0.0.0:{port} "
+          f"(mode={app.engine_mode}, generate={app.generate_reports})")
     make_server("0.0.0.0", port, app).serve_forever()
 
 
