@@ -127,8 +127,6 @@ def main():
 
     # optional secondary: report-generation throughput (beam-4, 150-180 tokens)
     if os.environ.get("MMDX_BENCH_GEN", "0") == "1":
-        from mmdx_tpu.runtime.engine import InferenceEngine as _Eng
-
         gen_engine = engine
         gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "32"))
         z_img = jnp.zeros((gb, cfg.fusion.d_img), jnp.float32)

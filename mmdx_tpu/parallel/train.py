@@ -10,7 +10,6 @@ BCE(disease) + CE(report).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel

@@ -37,12 +37,7 @@ import optax
 
 from flax import struct
 
-from mmdx_tpu.checkpoints.bundle import (
-    ModelBundle,
-    assemble_variables,
-    default_vocabs,
-)
-from mmdx_tpu.config import DiagnosisConfig
+from mmdx_tpu.checkpoints.bundle import ModelBundle, assemble_variables
 from mmdx_tpu.models.bert import TextEncoder
 from mmdx_tpu.models.fusion import FusionModel
 from mmdx_tpu.models.resnet import ImageEncoder

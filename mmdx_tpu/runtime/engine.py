@@ -28,7 +28,6 @@ from mmdx_tpu.decode.beam_search import beam_expand, beam_search, make_generatio
 from mmdx_tpu.decode.greedy import greedy_decode
 from mmdx_tpu.io.images import decode_image, decode_images, to_canonical_u8
 from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
-from mmdx_tpu.models.fusion import FusionModel
 from mmdx_tpu.ops.preprocess import preprocess_batch_device, preprocess_exact
 
 
@@ -45,10 +44,10 @@ class InferenceEngine:
         self.mesh = mesh
         self.dtype = jnp.float32 if mode == "parity" else jnp.bfloat16
         model_config = bundle.config
-        if mode == "fast":
+        if mode == "fast" and jax.default_backend() == "tpu":
             # Pallas fused FFN+LN in the text tower (~10% tower speedup; bf16-
             # rounding-level output differences only). Parity mode stays on the
-            # op-by-op XLA path.
+            # op-by-op XLA path; CPU (tests) has no compiled-Pallas support.
             import dataclasses
 
             model_config = dataclasses.replace(
