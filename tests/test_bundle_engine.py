@@ -104,3 +104,27 @@ def test_engine_default_generation_config(small_bundle, sample_image_paths):
     assert isinstance(out["report_text"], str)
     # min_new_tokens forces a long generation; t5-style decode yields words
     assert len(out["report_text"]) > 0
+
+
+def test_fast_mode_mixed_shapes(small_bundle, rng):
+    """Mixed raw shapes in one fast-mode batch use the canonicalization path."""
+    engine = InferenceEngine(small_bundle, mode="fast", canonical_size=128)
+    imgs = [
+        rng.integers(0, 256, (150, 120), dtype=np.uint8),
+        rng.integers(0, 256, (128, 128, 3), dtype=np.uint8),
+    ]
+    probs, _, _ = engine.classify_batch(imgs, ["a cough", "b fever"])
+    assert probs.shape == (2, 13)
+    assert np.all(np.isfinite(probs))
+
+
+def test_engine_greedy_generation(small_bundle, rng):
+    engine = InferenceEngine(small_bundle, mode="parity")
+    z_img = np.asarray(rng.standard_normal((2, 64)), np.float32)
+    z_txt = np.asarray(rng.standard_normal((2, 32)), np.float32)
+    import dataclasses
+
+    gen = dataclasses.replace(small_bundle.config.generation,
+                              max_new_tokens=10, min_new_tokens=2)
+    texts = engine.generate_reports(z_img, z_txt, gen, greedy=True)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
