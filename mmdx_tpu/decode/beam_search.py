@@ -45,6 +45,27 @@ class BeamState(NamedTuple):
     heuristic_ok: jnp.ndarray  # [B] sticky improvement-possible flag
 
 
+def topk_small(x: jnp.ndarray, k: int):
+    """Exact top-k for small k via k iterated max-reductions.
+
+    TPU's generic top_k lowering is expensive at beam-search widths
+    (num_beams * vocab ~ 128k columns); k max+mask passes are plain VPU
+    reductions. Tie behavior matches lax.top_k (earliest index wins), verified
+    by the HF-parity decode tests.
+    """
+    n, v = x.shape
+    vals = []
+    idxs = []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)  # first index on ties
+        val = jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0]
+        vals.append(val)
+        idxs.append(i)
+        cur = cur.at[jnp.arange(n), i].set(-jnp.inf)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
+
+
 def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_insert):
     """Insert one hypothesis per batch row into the fixed-capacity buffer
     (equivalent to HF's merge-topk: fill a free slot, else replace the worst)."""
@@ -143,7 +164,7 @@ def beam_search(
             )
 
         cand = logprobs.reshape(b, nb, v) + s.beam_scores[..., None]
-        top_scores, top_idx = jax.lax.top_k(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
+        top_scores, top_idx = topk_small(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
         src_beam = top_idx // v
         token = top_idx % v
         # a candidate "hits stopping": emits eos, or its sequence reaches max len
