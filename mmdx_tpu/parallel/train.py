@@ -96,11 +96,13 @@ def make_sharded_train_step(model: MultiModalDiagnosisModel, tx, mesh: Mesh,
         )
         return new_state, loss
 
+    # NOTE: no donate_argnums — donating the state triggers sporadic aborts on
+    # the virtual-device CPU backend used for tests/dryruns; re-enable per
+    # platform when memory pressure demands it.
     return jax.jit(
         step,
         in_shardings=(state_shardings, batch_sh, replicated(mesh)),
         out_shardings=(state_shardings, replicated(mesh)),
-        donate_argnums=(0,),
     )
 
 
