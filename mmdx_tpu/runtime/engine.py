@@ -287,9 +287,10 @@ class InferenceEngine:
         return self.t5_tok.batch_decode(seqs, skip_special_tokens=True)
 
     def infer(self, image, patient_details: str, gen_kwargs: dict | None = None,
-              generate: bool = True) -> dict:
+              generate: bool = True, greedy: bool = False) -> dict:
         """Single-sample inference with the reference's output contract
-        (inference_pipeline.py:199-206)."""
+        (inference_pipeline.py:199-206). ``greedy=True`` swaps beam search for
+        the ~15x-faster greedy decode."""
         gen = self.bundle.config.generation
         if gen_kwargs:
             import dataclasses
@@ -299,7 +300,7 @@ class InferenceEngine:
         vector = (probs[0] >= self.thresholds).astype(int).tolist()
         report = ""
         if generate:
-            report = self.generate_reports(z_img, z_txt, gen)[0]
+            report = self.generate_reports(z_img, z_txt, gen, greedy=greedy)[0]
         return {
             "report_text": report,
             "disease_probs": {

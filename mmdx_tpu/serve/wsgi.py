@@ -34,11 +34,13 @@ class DiagnosisApp:
     """WSGI application; model loads lazily on first predict."""
 
     def __init__(self, bundle=None, engine_mode: str = "parity",
-                 generate_reports: bool = True, gen_overrides: dict | None = None):
+                 generate_reports: bool = True, gen_overrides: dict | None = None,
+                 greedy: bool = False):
         self._bundle = bundle
         self.engine_mode = engine_mode
         self.generate_reports = generate_reports
         self.gen_overrides = gen_overrides
+        self.greedy = greedy
         self._static_dir = Path(__file__).resolve().parent / "frontend"
 
     # -- model plumbing -------------------------------------------------
@@ -124,6 +126,7 @@ class DiagnosisApp:
         preds = engine.infer(
             image_pil, patient_details,
             gen_kwargs=self.gen_overrides, generate=self.generate_reports,
+            greedy=self.greedy,
         )
 
         raw_probs = preds.get("disease_probs") or {}
@@ -205,6 +208,7 @@ def main():
     app = make_app(
         engine_mode=os.getenv("MMDX_ENGINE_MODE", "parity"),
         generate_reports=os.getenv("MMDX_GENERATE", "1") == "1",
+        greedy=os.getenv("MMDX_GEN_MODE", "beam") == "greedy",
     )
     print(f"[mmdx] serving on http://0.0.0.0:{port} "
           f"(mode={app.engine_mode}, generate={app.generate_reports})")
