@@ -7,7 +7,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # raised collective-rendezvous timeouts: on a 1-CPU box the 8 virtual
+    # devices time-slice one core and can reach an all-reduce >40s apart,
+    # which the default termination timeout would LOG(FATAL) on.
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    ).strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
