@@ -125,20 +125,31 @@ def main():
     log(f"[bench] steady state: {best * 1e3:.2f} ms/batch of {batch} "
         f"-> {throughput:.0f} inferences/s/chip")
 
-    # optional secondary: report-generation throughput (beam-4, 150-180 tokens)
-    if os.environ.get("MMDX_BENCH_GEN", "0") == "1":
-        gen_engine = engine
-        gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "32"))
-        z_img = jnp.zeros((gb, cfg.fusion.d_img), jnp.float32)
-        z_txt = jnp.zeros((gb, cfg.fusion.d_txt), jnp.float32)
+    # secondary (reported by default): report-generation throughput — the
+    # reference's dominant hot loop (beam-4, 150-180 tokens,
+    # inference_pipeline.py:190). MMDX_BENCH_GEN=0 skips it.
+    gen_stats = {}
+    if os.environ.get("MMDX_BENCH_GEN", "1") != "0":
+        rng_g = np.random.default_rng(1)
+        gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "64"))
+        z_img = jnp.asarray(rng_g.standard_normal((gb, cfg.fusion.d_img)), jnp.float32)
+        z_txt = jnp.asarray(rng_g.standard_normal((gb, cfg.fusion.d_txt)), jnp.float32)
         t0 = time.perf_counter()
-        gen_engine.generate_reports(z_img, z_txt)
+        engine.generate_reports(z_img, z_txt)
         log(f"[bench] beam-4 generate compile+first: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        gen_engine.generate_reports(z_img, z_txt)
-        dt = time.perf_counter() - t0
-        log(f"[bench] beam-4 150-180tok generation: {gb / dt:.1f} reports/s/chip "
-            f"({dt / gb * 1e3:.0f} ms/report amortized)")
+        best_gen = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            engine.generate_reports(z_img, z_txt)
+            dt = time.perf_counter() - t0
+            best_gen = dt if best_gen is None else min(best_gen, dt)
+        gen_rate = gb / best_gen
+        log(f"[bench] beam-4 150-180tok generation: {gen_rate:.1f} reports/s/chip "
+            f"({best_gen / gb * 1e3:.0f} ms/report amortized at B={gb})")
+        gen_stats = {
+            "beam4_reports_per_s_chip": round(gen_rate, 1),
+            "beam4_gen_batch": gb,
+        }
 
     baseline = 5000.0  # BASELINE.json north-star target
     print(json.dumps({
@@ -146,6 +157,7 @@ def main():
         "value": round(throughput, 1),
         "unit": "inferences/s/chip",
         "vs_baseline": round(throughput / baseline, 3),
+        **gen_stats,
     }))
 
 

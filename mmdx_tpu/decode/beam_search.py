@@ -38,6 +38,7 @@ class BeamState(NamedTuple):
     seqs: jnp.ndarray  # [B, nb, Lmax] running beams
     beam_scores: jnp.ndarray  # [B, nb] running accumulated logprobs
     cache: Any
+    anc: jnp.ndarray  # [B, nb, Lmax] ancestry (physical KV slot per position)
     fin_seqs: jnp.ndarray  # [B, nb, Lmax] finished hypotheses
     fin_scores: jnp.ndarray  # [B, nb] length-penalized
     fin_lens: jnp.ndarray  # [B, nb]
@@ -50,19 +51,21 @@ def topk_small(x: jnp.ndarray, k: int):
 
     TPU's generic top_k lowering is expensive at beam-search widths
     (num_beams * vocab ~ 128k columns); k max+mask passes are plain VPU
-    reductions. Tie behavior matches lax.top_k (earliest index wins), verified
-    by the HF-parity decode tests.
+    reductions (the mask is a broadcast-compare ``where``, not a scatter —
+    TPU scatters serialize). Tie behavior matches lax.top_k (earliest index
+    wins), verified by the HF-parity decode tests.
     """
     n, v = x.shape
     vals = []
     idxs = []
     cur = x
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, v), 1)
     for _ in range(k):
         i = jnp.argmax(cur, axis=-1)  # first index on ties
         val = jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0]
         vals.append(val)
         idxs.append(i)
-        cur = cur.at[jnp.arange(n), i].set(-jnp.inf)
+        cur = jnp.where(col == i[:, None].astype(jnp.int32), -jnp.inf, cur)
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
 
 
@@ -90,7 +93,7 @@ def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_in
         "step_fn", "batch", "num_beams", "vocab_size", "max_new_tokens",
         "min_new_tokens", "no_repeat_ngram_size", "length_penalty",
         "early_stopping", "eos_token_id", "pad_token_id",
-        "decoder_start_token_id",
+        "decoder_start_token_id", "cache_mode",
     ),
 )
 def beam_search(
@@ -108,18 +111,34 @@ def beam_search(
     eos_token_id: int = 1,
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
+    cache_mode: str = "gather",
 ):
     """Run beam search; returns (sequences [B, 1+max_new_tokens], scores [B]).
 
     Output rows: start token + generated tokens (eos included if emitted),
     filled with HF's output fill value (``pad_token_id or eos_token_id``).
     ``init_cache`` must have leading dim B*num_beams on every leaf.
+
+    ``cache_mode``:
+      * ``"gather"`` — classic: the full KV cache is reordered by a beam
+        gather each step (``step_fn(tokens [N,1], pos, cache)``). The gather
+        rewrites the whole cache every step and defeats XLA's in-place
+        aliasing of the while-loop carry.
+      * ``"ancestry"`` — the cache stays physical (never reordered); a tiny
+        ``anc [B, nb, Lmax]`` index maps each beam's history position to the
+        physical slot that wrote it, and attention resolves the indirection
+        (``step_fn(tokens [N,1], pos, cache, anc)``, e.g.
+        ``T5.decode_step_beam``). The carried cache is then only touched by
+        in-place ``dynamic_update_slice`` — the same access pattern as the
+        (15x faster per row) greedy loop.
     """
+    assert cache_mode in ("gather", "ancestry"), cache_mode
     b, nb, v = batch, num_beams, vocab_size
     lmax = 1 + max_new_tokens  # max total length incl. decoder start
     min_len = 1 + min_new_tokens
     n = b * nb
     es_true = early_stopping is True
+    ancestry = cache_mode == "ancestry"
     fill_value = pad_token_id if pad_token_id else eos_token_id  # HF quirk
 
     seqs = jnp.full((b, nb, lmax), fill_value, jnp.int32)
@@ -131,6 +150,7 @@ def beam_search(
         seqs=seqs,
         beam_scores=beam_scores,
         cache=init_cache,
+        anc=jnp.zeros((b, nb, lmax), jnp.int32),
         fin_seqs=jnp.full((b, nb, lmax), fill_value, jnp.int32),
         fin_scores=jnp.full((b, nb), NEG, jnp.float32),
         fin_lens=jnp.ones((b, nb), jnp.int32),
@@ -151,7 +171,10 @@ def beam_search(
         last_tok = jnp.take_along_axis(
             s.seqs, jnp.broadcast_to((cur - 1)[None, None, None], (b, nb, 1)), axis=2
         )
-        logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache)
+        if ancestry:
+            logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache, s.anc)
+        else:
+            logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [N,V]
 
         # min-length: mask eos while generated < min_new_tokens
@@ -207,8 +230,21 @@ def beam_search(
         )
         beam_scores2 = jnp.where(frozen[:, None], s.beam_scores, new_scores)
 
-        flat_idx = (jnp.arange(b)[:, None] * nb + new_src_eff).reshape(n)
-        cache2 = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+        if ancestry:
+            # reorder only the tiny ancestry index; the KV cache stays put.
+            # position cur-1's K/V was written this step by physical slot
+            # new_src (the slot whose token was consumed).
+            anc_g = jnp.take_along_axis(
+                s.anc, jnp.broadcast_to(new_src_eff[..., None], (b, nb, lmax)), axis=1
+            )
+            anc2 = jax.lax.dynamic_update_slice_in_dim(
+                anc_g, new_src_eff[..., None].astype(jnp.int32), cur - 1, axis=2
+            )
+            cache2 = cache
+        else:
+            flat_idx = (jnp.arange(b)[:, None] * nb + new_src_eff).reshape(n)
+            cache2 = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+            anc2 = s.anc
 
         # --- sticky early-stop heuristic (HF _check_early_stop_heuristic) ---
         if early_stopping == "never" and length_penalty > 0.0:
@@ -219,7 +255,7 @@ def beam_search(
         worst_fin = jnp.where(n_fin >= nb, jnp.min(fin_scores, axis=1), NEG)
         heuristic_ok = s.heuristic_ok & ((n_fin < nb) | (best_running > worst_fin))
 
-        return BeamState(cur + 1, seqs2, beam_scores2, cache2,
+        return BeamState(cur + 1, seqs2, beam_scores2, cache2, anc2,
                          fin_seqs, fin_scores, fin_lens, n_fin, heuristic_ok)
 
     s = jax.lax.while_loop(cond, body, state)

@@ -59,13 +59,19 @@ class MultiModalDiagnosisModel(nn.Module):
             "z_fuse": out["z_fuse"],
         }
 
-    def prepare_generation(self, z_img, z_txt, max_len: int):
+    def prepare_generation(self, z_img, z_txt, max_len: int,
+                           beam_width: int | None = None):
         """Fusion + conditioning + fresh KV cache for the decode loop."""
-        return self.fusion.cond_and_cache(z_img, z_txt, max_len)
+        return self.fusion.cond_and_cache(z_img, z_txt, max_len, beam_width)
 
     def decode_step(self, token_ids, pos, cache, static_kv, self_bias, enc_mask):
         return self.fusion.decode_step(token_ids, pos, cache, static_kv,
                                        self_bias, enc_mask)
+
+    def decode_step_beam(self, token_ids, pos, cache, anc, static_kv, self_bias,
+                         enc_mask):
+        return self.fusion.decode_step_beam(token_ids, pos, cache, anc,
+                                            static_kv, self_bias, enc_mask)
 
     def __call__(self, images, input_ids, attention_mask, token_type_ids=None,
                  report_labels=None, train: bool = False):

@@ -77,11 +77,15 @@ class FusionModel(nn.Module):
         return out
 
     # ---- generation support: expose the pieces the decode loop needs ----
-    def cond_and_cache(self, z_img, z_txt, max_len: int):
-        """Prepare conditioning tokens + KV cache for incremental generation."""
+    def cond_and_cache(self, z_img, z_txt, max_len: int,
+                       beam_width: int | None = None):
+        """Prepare conditioning tokens + KV cache for incremental generation.
+        ``beam_width`` selects the ancestry-mode beam cache layout."""
         z_fuse = self.fuse(z_img, z_txt, deterministic=True)
         cond = self.make_cond_tokens(z_fuse)
-        cache, static_kv = self.report_model.init_cache(cond.shape[0], max_len, cond)
+        cache, static_kv = self.report_model.init_cache(
+            cond.shape[0], max_len, cond, beam_width=beam_width
+        )
         self_bias = self.report_model.decode_self_bias(max_len)
         enc_mask = jnp.ones(cond.shape[:2], jnp.int32)
         return {
@@ -96,3 +100,9 @@ class FusionModel(nn.Module):
     def decode_step(self, token_ids, pos, cache, static_kv, self_bias, enc_mask):
         return self.report_model.decode_step(token_ids, pos, cache, static_kv,
                                              self_bias, enc_mask)
+
+    def decode_step_beam(self, token_ids, pos, cache, anc, static_kv, self_bias,
+                         enc_mask):
+        return self.report_model.decode_step_beam(
+            token_ids, pos, cache, anc, static_kv, self_bias, enc_mask
+        )

@@ -145,6 +145,66 @@ class T5Attention(nn.Module):
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
         return self.o(out), cache_k, cache_v
 
+    def step_beam(self, hidden_tok, cache_k, cache_v, pos, bias_row, anc):
+        """One-token beam self-attention over a PHYSICAL (never reordered)
+        cache, resolving beam histories through the ancestry index.
+
+        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B,heads,nb,Lmax,d_kv]
+        (the BEAM layout, built by ``init_cache(..., beam_width=nb)``) — slot
+        j's row at position t holds the K/V written by whatever beam occupied
+        slot j at step t; anc: [B,nb,Lmax] int32 with anc[b,i,t] = physical
+        slot owning beam (b,i)'s history at position t (entries at t >= pos
+        are junk; position pos is always the slot's own write).
+
+        Computes scores against every physical slot then selects the
+        ancestor's row — nb-fold extra FLOPs (free at these sizes) in exchange
+        for never rewriting the O(N*Lmax*d) cache, which keeps the decode
+        while-loop carry aliased in place. The [B,h,nb,L,d] layout makes both
+        contractions dot_generals with batch dims (B,h) directly on the
+        cache's native layout — no full-cache transpose per step (that
+        transpose is slower than the gather it replaces).
+        """
+        b, nb, lmax = anc.shape
+        h, d = self.config.num_heads, self.config.d_kv
+        n = b * nb
+        q = self._split(self.q(hidden_tok))  # [N,h,1,d]
+        # only the new token's K/V pays a (tiny) relayout into the beam cache
+        def to_beam(x):  # [N,h,1,d] -> [B,h,nb,1,d]
+            return x.reshape(b, nb, h, 1, d).transpose(0, 2, 1, 3, 4)
+
+        k_new = to_beam(self._split(self.k(hidden_tok)))
+        v_new = to_beam(self._split(self.v(hidden_tok)))
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos, axis=3)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos, axis=3)
+
+        qg = q.reshape(b, nb, h, d).transpose(0, 2, 1, 3)  # [B,h,nb(i),d]
+
+        # effective ancestry: position `pos` is this step's own write
+        own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
+        anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
+
+        # scores vs every physical slot j: dot_general batch (B,h), native
+        # cache layout -> [B,h,i,j,L]
+        scores_all = jnp.einsum(
+            "bhid,bhjld->bhijl", qg, cache_k, preferred_element_type=jnp.float32
+        )
+        idx = anc_eff[:, None, :, None, :].astype(jnp.int32)  # [B,1,i,1,L]
+        idx = jnp.broadcast_to(idx, (b, h, nb, 1, lmax))
+        scores = jnp.take_along_axis(scores_all, idx, axis=3)[:, :, :, 0, :]  # [B,h,i,L]
+        scores = scores + bias_row[0, :, 0, :][None, :, None, :]  # bias+causal
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)  # [B,h,i,L]
+
+        # context: out = sum_l p[l] * V[anc[l], l] via one-hot select;
+        # contraction over (j, L) again hits the cache's native layout
+        onehot = jax.nn.one_hot(anc_eff, nb, dtype=probs.dtype)  # [B,i,L,j]
+        onehot = onehot.transpose(0, 1, 3, 2)[:, None]  # [B,1,i,j,L]
+        p_sel = probs[:, :, :, None, :] * onehot  # [B,h,i,j,L]
+        ctx = jnp.einsum(
+            "bhijl,bhjld->bhid", p_sel, cache_v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)  # [B,h,i,d]
+        out = ctx.transpose(0, 2, 1, 3).reshape(n, 1, h * d)
+        return self.o(out), cache_k, cache_v
+
 
 class T5FFN(nn.Module):
     config: ReportDecoderConfig
@@ -212,6 +272,24 @@ class T5DecoderLayer(nn.Module):
         them every step is pure waste)."""
         y = self.self_ln(hidden_tok)
         attn, k_, v_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
+        hidden_tok = hidden_tok + attn
+        y = self.cross_ln(hidden_tok)
+        q = self.cross_attn._split(self.cross_attn.q(y))
+        ctx = self.cross_attn.attend(q, static_kv["ck"], static_kv["cv"], enc_bias)
+        hidden_tok = hidden_tok + self.cross_attn.o(self.cross_attn._merge(ctx))
+        y = self.ffn_ln(hidden_tok)
+        hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
+        return hidden_tok, {"k": k_, "v": v_}
+
+    def step_beam(self, hidden_tok, cache, static_kv, pos, self_bias_row,
+                  enc_bias, anc):
+        """One-token beam decode step over a physical (never reordered) cache —
+        see ``T5Attention.step_beam``. Cross-attention needs no ancestry: all
+        beams of a sample share identical encoder K/V."""
+        y = self.self_ln(hidden_tok)
+        attn, k_, v_ = self.self_attn.step_beam(
+            y, cache["k"], cache["v"], pos, self_bias_row, anc
+        )
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
         q = self.cross_attn._split(self.cross_attn.q(y))
@@ -312,17 +390,29 @@ class T5(nn.Module):
         return self._lm_logits(hidden)
 
     # ------------------------------------------------------------------
-    def init_cache(self, batch: int, max_len: int, encoder_hidden):
+    def init_cache(self, batch: int, max_len: int, encoder_hidden,
+                   beam_width: int | None = None):
         """Build the decode state: (cache, static_kv) where cache holds the
-        per-layer self-attention K/V buffers (carried through the decode loop,
-        beam-reordered each step) and static_kv holds the precomputed
-        cross-attention K/V over the encoder outputs (loop constants)."""
+        per-layer self-attention K/V buffers (carried through the decode loop)
+        and static_kv holds the precomputed cross-attention K/V over the
+        encoder outputs (loop constants).
+
+        ``beam_width=None``: cache leaves are [batch, heads, max_len, d_kv]
+        (for ``decode_step`` — greedy, or gather-mode beam search).
+        ``beam_width=nb``: BEAM layout [batch/nb, heads, nb, max_len, d_kv]
+        for ``decode_step_beam`` (ancestry mode; never reordered)."""
         cfg = self.config
         cache = []
         static_kv = []
+        if beam_width:
+            assert batch % beam_width == 0, (batch, beam_width)
+            shape = (batch // beam_width, cfg.num_heads, beam_width, max_len,
+                     cfg.d_kv)
+        else:
+            shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
         for layer in self.decoder_layers:
             ck, cv = layer.cross_attn.project_kv(encoder_hidden)
-            zeros = jnp.zeros((batch, cfg.num_heads, max_len, cfg.d_kv), self.dtype)
+            zeros = jnp.zeros(shape, self.dtype)
             cache.append({"k": zeros, "v": zeros})
             static_kv.append({"ck": ck, "cv": cv})
         return cache, static_kv
@@ -352,6 +442,22 @@ class T5(nn.Module):
         for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
             hidden, lc = layer.step(hidden, layer_cache, layer_static, pos,
                                     bias_row, enc_bias)
+            new_cache.append(lc)
+        hidden = self.decoder_final_ln(hidden)
+        return self._lm_logits(hidden)[:, 0], new_cache
+
+    def decode_step_beam(self, token_ids, pos, cache, anc, static_kv,
+                         self_bias_full, encoder_mask):
+        """Beam-search decode step: like ``decode_step`` but the KV cache is
+        physical (never beam-reordered) and ``anc [B, nb, Lmax]`` carries the
+        beam ancestry (see ``beam_search(cache_mode="ancestry")``)."""
+        hidden = self.shared(token_ids)  # [N,1,D]
+        bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)
+        enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        new_cache = []
+        for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
+            hidden, lc = layer.step_beam(hidden, layer_cache, layer_static, pos,
+                                         bias_row, enc_bias, anc)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
         return self._lm_logits(hidden)[:, 0], new_cache

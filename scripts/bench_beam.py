@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Measure report-generation decode throughput on the real chip.
+
+Times greedy and beam-4 (ancestry cache mode) at full model size, B=64,
+150-180 tokens — the reference's dominant serving hot loop
+(inference_pipeline.py:190). Round-1 numbers to beat: greedy ~360 reports/s,
+beam-4 ~23 reports/s (gather cache mode, ~15 ms/step).
+
+Usage: python scripts/bench_beam.py [batch]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    print(f"[bench_beam] device: {jax.devices()[0].device_kind}, B={batch}",
+          file=sys.stderr, flush=True)
+
+    bundle = new_random_bundle(seed=0)  # full-size stack
+    engine = InferenceEngine(bundle, mode="fast")
+    gen = bundle.config.generation  # beam-4, min 150 / max 180, ngram 3
+    steps = gen.max_new_tokens
+
+    rng = np.random.default_rng(0)
+
+    def z(seed):
+        r = np.random.default_rng(seed)
+        return (
+            jnp.asarray(r.standard_normal((batch, bundle.config.fusion.d_img)), jnp.float32),
+            jnp.asarray(r.standard_normal((batch, bundle.config.fusion.d_txt)), jnp.float32),
+        )
+
+    for name, greedy in (("greedy", True), ("beam4-ancestry", False)):
+        zi, zt = z(1)
+        t0 = time.perf_counter()
+        engine.generate_reports(zi, zt, greedy=greedy)
+        print(f"[bench_beam] {name}: compile+first {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        best = None
+        for i in range(3):
+            zi, zt = z(2 + i)  # fresh inputs each call (tunnel may cache replays)
+            t0 = time.perf_counter()
+            engine.generate_reports(zi, zt, greedy=greedy)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        n_rows = batch * (1 if greedy else gen.num_beams)
+        print(
+            f"[bench_beam] {name}: {batch / best:.1f} reports/s "
+            f"({best / batch * 1e3:.1f} ms/report, ~{best / steps * 1e3:.2f} ms/step "
+            f"at N={n_rows})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,20 @@ def _hf_generate(oracle, cond, **kw):
         ).numpy()
 
 
-def _our_step_fn(model, variables, static_kv, self_bias, enc_mask):
+def _our_step_fn(model, variables, static_kv, self_bias, enc_mask,
+                 cache_mode="gather"):
     import jax.numpy as jnp
 
     enc_mask = jnp.asarray(enc_mask)
 
-    def step_fn(tokens, pos, cache):
-        return model.apply(variables, tokens, pos, cache, static_kv, self_bias,
-                           enc_mask, method=T5.decode_step)
+    if cache_mode == "ancestry":
+        def step_fn(tokens, pos, cache, anc):
+            return model.apply(variables, tokens, pos, cache, anc, static_kv,
+                               self_bias, enc_mask, method=T5.decode_step_beam)
+    else:
+        def step_fn(tokens, pos, cache):
+            return model.apply(variables, tokens, pos, cache, static_kv,
+                               self_bias, enc_mask, method=T5.decode_step)
 
     return step_fn
 
@@ -83,7 +89,8 @@ def _compare(ours, hf, fill=1):
              no_repeat_ngram_size=2, length_penalty=2.0, early_stopping=True),
     ],
 )
-def test_beam_search_token_parity(pair, rng, gen_kw):
+@pytest.mark.parametrize("cache_mode", ["gather", "ancestry"])
+def test_beam_search_token_parity(pair, rng, gen_kw, cache_mode):
     import jax.numpy as jnp
 
     oracle, model, variables, cfg = pair
@@ -95,15 +102,19 @@ def test_beam_search_token_parity(pair, rng, gen_kw):
     nb = gen_kw["num_beams"]
     lmax = 1 + gen_kw["max_new_tokens"]
     cond_j = jnp.asarray(beam_expand(cond, nb))
-    cache, static_kv = model.apply(variables, B * nb, lmax, cond_j,
-                                   method=T5.init_cache)
+    cache, static_kv = model.apply(
+        variables, B * nb, lmax, cond_j,
+        nb if cache_mode == "ancestry" else None, method=T5.init_cache,
+    )
     self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
     enc_mask = np.ones((B * nb, K), np.int32)
-    step_fn = _our_step_fn(model, variables, static_kv, self_bias, enc_mask)
+    step_fn = _our_step_fn(model, variables, static_kv, self_bias, enc_mask,
+                           cache_mode)
 
     ours, _ = beam_search(
         step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
-        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0, **gen_kw,
+        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0,
+        cache_mode=cache_mode, **gen_kw,
     )
     _compare(ours, hf_out)
 
