@@ -72,7 +72,14 @@ class TextEncoderConfig:
     max_len: int = 96
     pooling: str = "masked_mean"
     pad_token_id: int = 0
-    use_flash_attention: bool = False  # Pallas blockwise attention (ops/pallas_attention)
+    # Pallas blockwise attention (ops/pallas_attention): consulted per traced
+    # sequence length — kicks in only at >= flash_min_seq_len, where the
+    # blockwise kernel beats materializing [L, L] scores. At the reference's
+    # bucketed 32-96 tokens the einsum path wins (scores fit in VMEM and XLA
+    # fuses them), so serving enables the flag and the rule keeps short
+    # sequences on einsum; long-context configs get flash automatically.
+    use_flash_attention: bool = False
+    flash_min_seq_len: int = 256
     use_fused_ffn: bool = False  # Pallas fused FFN+residual+LN (ops/pallas_ffn)
 
 

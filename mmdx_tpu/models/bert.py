@@ -71,7 +71,9 @@ class BertLayer(nn.Module):
             return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if cfg.use_flash_attention:
+        # L is static under jit, so this is a trace-time branch: flash wins
+        # only once [L, L] score materialization stops fitting/fusing well
+        if cfg.use_flash_attention and hidden.shape[1] >= cfg.flash_min_seq_len:
             from mmdx_tpu.ops.pallas_attention import flash_attention
 
             ctx = flash_attention(q, k, v, attention_bias,

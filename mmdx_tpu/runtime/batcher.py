@@ -24,11 +24,20 @@ class _Item:
 
 class MicroBatcher:
     def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 5.0,
-                 generate: bool = False):
+                 generate: bool = False, greedy: bool = False,
+                 gen_overrides: dict | None = None):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.generate = generate
+        self.greedy = greedy
+        self.gen = None
+        if gen_overrides:
+            import dataclasses
+
+            self.gen = dataclasses.replace(
+                engine.bundle.config.generation, **gen_overrides
+            )
         self._queue: queue.Queue[_Item] = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -79,11 +88,12 @@ class MicroBatcher:
                 images = [it.image for it in items] + [items[0].image] * (bucket - n)
                 texts = [it.text for it in items] + [items[0].text] * (bucket - n)
                 probs, z_img, z_txt = self.engine.classify_batch(images, texts)
-                probs, z_img, z_txt = probs[:n], z_img[:n], z_txt[:n]
                 reports = (
-                    self.engine.generate_reports(z_img, z_txt)
-                    if self.generate else [""] * len(items)
+                    self.engine.generate_reports(z_img, z_txt, self.gen,
+                                                 greedy=self.greedy)[:n]
+                    if self.generate else [""] * n
                 )
+                probs = probs[:n]
                 thresholds = self.engine.thresholds
                 names = self.engine.bundle.class_names
                 for i, it in enumerate(items):

@@ -46,13 +46,19 @@ class InferenceEngine:
         model_config = bundle.config
         if mode == "fast" and jax.default_backend() == "tpu":
             # Pallas fused FFN+LN in the text tower (~10% tower speedup; bf16-
-            # rounding-level output differences only). Parity mode stays on the
-            # op-by-op XLA path; CPU (tests) has no compiled-Pallas support.
+            # rounding-level output differences only), plus flash attention for
+            # sequences >= flash_min_seq_len (the bucketed 32-96 serving
+            # lengths stay on the fused-einsum path, which wins there). Parity
+            # mode stays on the op-by-op XLA path; CPU (tests) has no
+            # compiled-Pallas support.
             import dataclasses
 
             model_config = dataclasses.replace(
                 model_config,
-                text=dataclasses.replace(model_config.text, use_fused_ffn=True),
+                text=dataclasses.replace(
+                    model_config.text, use_fused_ffn=True,
+                    use_flash_attention=True,
+                ),
             )
         self.model_config = model_config
         self.model = MultiModalDiagnosisModel(config=model_config, dtype=self.dtype)
@@ -66,14 +72,32 @@ class InferenceEngine:
         self.thresholds = np.asarray(bundle.thresholds, np.float32)
         self._classify_cache: dict[Any, Any] = {}
         self._generate_cache: dict[Any, Any] = {}
+        # fast mode feeds raw (H, W) straight to jit (exact resize geometry per
+        # shape); cap how many distinct raw shapes may each compile a program
+        # before falling back to host canonicalization, so a heterogeneous
+        # archive can't degrade to compile-per-request.
+        self.max_raw_shapes = int(
+            __import__("os").environ.get("MMDX_MAX_RAW_SHAPES", "4")
+        )
+        self._raw_shapes_seen: set[tuple] = set()
 
     def _shard_inputs(self, *arrays):
-        """Place batch arrays on the mesh (leading axis over "data")."""
+        """Place batch arrays on the mesh (leading axis over "data"),
+        padding the batch up to a multiple of the dp degree so any batch size
+        works on any mesh. Returns (arrays, true_batch)."""
+        n = int(arrays[0].shape[0])
         if self.mesh is None:
-            return arrays
+            return arrays, n
         from mmdx_tpu.parallel.sharding import shard_batch
 
-        return tuple(shard_batch(list(arrays), self.mesh))
+        dp = self.mesh.shape.get("data", 1)
+        pad = (-n) % dp
+        if pad:
+            arrays = tuple(
+                np.concatenate([a, np.repeat(np.asarray(a[:1]), pad, axis=0)])
+                for a in arrays
+            )
+        return tuple(shard_batch(list(arrays), self.mesh)), n
 
     # ------------------------------------------------------------------
     # host-side input prep
@@ -94,10 +118,20 @@ class InferenceEngine:
         # fast mode: when the batch shares one raw shape (the common case —
         # medical archives are uniform), feed it directly: the fused resize+crop
         # matrices are built per shape, preserving the reference's exact
-        # shorter-side-256 + center-crop geometry. Mixed shapes fall back to a
-        # square host canonicalization.
+        # shorter-side-256 + center-crop geometry. Mixed shapes — or more than
+        # max_raw_shapes distinct shapes over the engine's lifetime (bounding
+        # the compiled-program count) — fall back to a square host
+        # canonicalization.
         shapes = {a.shape[:2] for a in arrays}
+        direct = False
         if len(shapes) == 1:
+            shape = next(iter(shapes))
+            if shape in self._raw_shapes_seen:
+                direct = True
+            elif len(self._raw_shapes_seen) < self.max_raw_shapes:
+                self._raw_shapes_seen.add(shape)
+                direct = True
+        if direct:
             canon = [a[:, :, None] if a.ndim == 2 else a for a in arrays]
         else:
             canon = [to_canonical_u8(a, self.canonical_size) for a in arrays]
@@ -170,21 +204,23 @@ class InferenceEngine:
                 nb = 1 if greedy else gen.num_beams
                 zi = beam_expand(z_img, nb) if nb > 1 else z_img
                 zt = beam_expand(z_txt, nb) if nb > 1 else z_txt
-                prep = model.apply(variables, zi, zt, lmax, method=fusion_method)
+                prep = model.apply(variables, zi, zt, lmax,
+                                   None if greedy else gen.num_beams,
+                                   method=fusion_method)
                 # loop constants (cross-attn KV, shared bias, enc mask) are
                 # closed over — only the self-attn KV buffers ride the
                 # beam-reordered carried cache.
                 static_kv = prep["static_kv"]
                 self_bias, enc_mask = prep["self_bias"], prep["enc_mask"]
 
-                def step_fn(tokens, pos, layers):
-                    return model.apply(
-                        variables, tokens, pos, layers, static_kv, self_bias,
-                        enc_mask, method=MultiModalDiagnosisModel.decode_step,
-                    )
-
                 cache = prep["cache"]
                 if greedy:
+                    def step_fn(tokens, pos, layers):
+                        return model.apply(
+                            variables, tokens, pos, layers, static_kv, self_bias,
+                            enc_mask, method=MultiModalDiagnosisModel.decode_step,
+                        )
+
                     return greedy_decode(
                         step_fn, cache, batch=batch, vocab_size=rep.vocab_size,
                         max_new_tokens=gen.max_new_tokens,
@@ -193,8 +229,20 @@ class InferenceEngine:
                         eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
                         decoder_start_token_id=gen.decoder_start_token_id,
                     )
+
+                # ancestry mode: the KV cache is never beam-reordered (the
+                # while-loop carry stays aliased in place); attention resolves
+                # beam histories through the tiny anc index instead.
+                def beam_step_fn(tokens, pos, layers, anc):
+                    return model.apply(
+                        variables, tokens, pos, layers, anc, static_kv,
+                        self_bias, enc_mask,
+                        method=MultiModalDiagnosisModel.decode_step_beam,
+                    )
+
                 seqs, _ = beam_search(
-                    step_fn, cache, batch=batch, vocab_size=rep.vocab_size, **kw,
+                    beam_step_fn, cache, batch=batch, vocab_size=rep.vocab_size,
+                    cache_mode="ancestry", **kw,
                 )
                 return seqs
 
@@ -271,12 +319,12 @@ class InferenceEngine:
         """-> (probs [B,13] np.float32, z_img, z_txt)."""
         imgs = self.prep_images(images)
         tok = self.prep_texts(texts)
-        fn = self._classify_fn(tuple(imgs.shape))
-        imgs, ids, mask, tt = self._shard_inputs(
+        (imgs, ids, mask, tt), n = self._shard_inputs(
             imgs, tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
         )
+        fn = self._classify_fn(tuple(imgs.shape))
         probs, z_img, z_txt = fn(self.variables, imgs, ids, mask, tt)
-        return np.asarray(probs, np.float32), z_img, z_txt
+        return np.asarray(probs, np.float32)[:n], z_img[:n], z_txt[:n]
 
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
                          greedy: bool = False) -> list[str]:

@@ -35,12 +35,17 @@ class DiagnosisApp:
 
     def __init__(self, bundle=None, engine_mode: str = "parity",
                  generate_reports: bool = True, gen_overrides: dict | None = None,
-                 greedy: bool = False):
+                 greedy: bool = False, batch_window_ms: float = 5.0,
+                 max_batch: int = 32):
         self._bundle = bundle
         self.engine_mode = engine_mode
         self.generate_reports = generate_reports
         self.gen_overrides = gen_overrides
         self.greedy = greedy
+        self.batch_window_ms = batch_window_ms
+        self.max_batch = max_batch
+        self._batcher = None
+        self._lock = __import__("threading").Lock()
         self._static_dir = Path(__file__).resolve().parent / "frontend"
 
     # -- model plumbing -------------------------------------------------
@@ -50,6 +55,23 @@ class DiagnosisApp:
         if self._bundle is None:
             self._bundle = get_model_bundle()
         return get_engine(self._bundle, mode=self.engine_mode)
+
+    def _get_batcher(self):
+        """Concurrent requests fuse into one device batch (double-checked
+        lock; the reference serves strictly batch=1 per request,
+        views.py:60-103)."""
+        if self._batcher is None:
+            with self._lock:
+                if self._batcher is None:
+                    from mmdx_tpu.runtime.batcher import MicroBatcher
+
+                    self._batcher = MicroBatcher(
+                        self._engine(), max_batch=self.max_batch,
+                        max_wait_ms=self.batch_window_ms,
+                        generate=self.generate_reports, greedy=self.greedy,
+                        gen_overrides=self.gen_overrides,
+                    )
+        return self._batcher
 
     # -- WSGI -----------------------------------------------------------
     def __call__(self, environ, start_response):
@@ -122,12 +144,7 @@ class DiagnosisApp:
         except Exception:
             return self._json(start_response, 400, {"error": "Invalid image format."})
 
-        engine = self._engine()
-        preds = engine.infer(
-            image_pil, patient_details,
-            gen_kwargs=self.gen_overrides, generate=self.generate_reports,
-            greedy=self.greedy,
-        )
+        preds = self._get_batcher().infer(image_pil, patient_details)
 
         raw_probs = preds.get("disease_probs") or {}
         diseases = []
@@ -196,22 +213,39 @@ def make_app(**kwargs) -> DiagnosisApp:
     return DiagnosisApp(**kwargs)
 
 
+def make_server(host: str, port: int, app):
+    """Threaded WSGI server: concurrent requests land in the MicroBatcher's
+    queue and fuse into one device batch (wsgiref's default server is
+    single-threaded, so concurrent clients would serialize and the batcher
+    would never see a batch)."""
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server as _make
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    return _make(host, port, app, server_class=ThreadingWSGIServer)
+
+
 def main():
-    """Dev server: python -m mmdx_tpu.serve.wsgi.
+    """Server: python -m mmdx_tpu.serve.wsgi.
 
     Env: PORT (8000); MMDX_ENGINE_MODE=parity|fast; MMDX_GENERATE=1|0
-    (report generation on/off); MMDX_BUNDLE_PATH (model bundle).
+    (report generation on/off); MMDX_GEN_MODE=beam|greedy;
+    MMDX_BATCH_WINDOW_MS (micro-batching window, default 5);
+    MMDX_MAX_BATCH (fused batch cap, default 32); MMDX_BUNDLE_PATH.
     """
-    from wsgiref.simple_server import make_server
-
     port = int(os.getenv("PORT", "8000"))
     app = make_app(
         engine_mode=os.getenv("MMDX_ENGINE_MODE", "parity"),
         generate_reports=os.getenv("MMDX_GENERATE", "1") == "1",
         greedy=os.getenv("MMDX_GEN_MODE", "beam") == "greedy",
+        batch_window_ms=float(os.getenv("MMDX_BATCH_WINDOW_MS", "5")),
+        max_batch=int(os.getenv("MMDX_MAX_BATCH", "32")),
     )
     print(f"[mmdx] serving on http://0.0.0.0:{port} "
-          f"(mode={app.engine_mode}, generate={app.generate_reports})")
+          f"(mode={app.engine_mode}, generate={app.generate_reports}, "
+          f"threaded + micro-batched)")
     make_server("0.0.0.0", port, app).serve_forever()
 
 

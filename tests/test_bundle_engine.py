@@ -118,6 +118,25 @@ def test_fast_mode_mixed_shapes(small_bundle, rng):
     assert np.all(np.isfinite(probs))
 
 
+def test_fast_mode_compile_surface_capped(small_bundle, rng):
+    """A stream of many distinct raw shapes must not compile per-shape: after
+    max_raw_shapes distinct direct shapes, new shapes canonicalize (bounding
+    the compiled-program count)."""
+    engine = InferenceEngine(small_bundle, mode="fast", canonical_size=96)
+    for i in range(10):
+        img = rng.integers(0, 256, (100 + 4 * i, 90 + 4 * i), dtype=np.uint8)
+        probs, _, _ = engine.classify_batch([img], [f"case {i}"])
+        assert probs.shape == (1, 13)
+    # ≤ max_raw_shapes direct programs + 1 canonical program
+    classify_keys = [k for k in engine._classify_cache if k[0] == "classify"]
+    assert len(classify_keys) <= engine.max_raw_shapes + 1
+    # previously-seen shapes keep replaying their compiled program
+    img = rng.integers(0, 256, (100, 90), dtype=np.uint8)
+    n_before = len(engine._classify_cache)
+    engine.classify_batch([img], ["again"])
+    assert len(engine._classify_cache) == n_before
+
+
 def test_engine_greedy_generation(small_bundle, rng):
     engine = InferenceEngine(small_bundle, mode="parity")
     z_img = np.asarray(rng.standard_normal((2, 64)), np.float32)

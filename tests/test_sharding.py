@@ -83,3 +83,10 @@ def test_multichip_inference_engine(rng):
     multi = InferenceEngine(bundle, mode="parity", mesh=mesh)
     p8, _, _ = multi.classify_batch(imgs, texts)
     np.testing.assert_allclose(p1, p8, rtol=1e-5, atol=1e-6)
+
+    # batches NOT divisible by the dp degree pad internally and un-pad on the
+    # way out — any batch size works on any mesh
+    for n in (1, 3, 5):
+        pn, zi, zt = multi.classify_batch(imgs[:n], texts[:n])
+        assert pn.shape == (n, 13) and zi.shape[0] == n and zt.shape[0] == n
+        np.testing.assert_allclose(p1[:n], pn, rtol=1e-5, atol=1e-6)
