@@ -42,15 +42,43 @@ class ModelBundle:
     thresholds: list[float]
     version: int = 1
     metadata: dict[str, Any] | None = None
+    t5_scores: dict[int, float] | None = None  # unigram-LM piece log-probs
 
     def tokenizers(self):
         from mmdx_tpu.text.t5_tokenizer import T5StyleTokenizer
-        from mmdx_tpu.text.wordpiece import WordPieceTokenizer
 
         return (
-            WordPieceTokenizer(vocab=self.bert_vocab),
-            T5StyleTokenizer(vocab=self.t5_vocab),
+            self._bert_tokenizer(),
+            T5StyleTokenizer(vocab=self.t5_vocab, scores=self.t5_scores),
         )
+
+    def _bert_tokenizer(self):
+        """The C++ WordPiece core when buildable (output-identical to the
+        Python tokenizer — parity-asserted in tests/test_native_wordpiece.py);
+        pure Python otherwise. The native core needs a vocab file, so the
+        in-memory vocab is staged to a content-addressed temp file."""
+        from mmdx_tpu.text.wordpiece import WordPieceTokenizer
+
+        try:
+            import hashlib
+            import os
+            import tempfile
+
+            from mmdx_tpu.text.native_wordpiece import NativeWordPieceTokenizer
+
+            blob = ("\n".join(_vocab_list(self.bert_vocab)) + "\n").encode("utf-8")
+            digest = hashlib.sha256(blob).hexdigest()[:16]
+            path = Path(tempfile.gettempdir()) / f"mmdx_bert_vocab_{digest}.txt"
+            if not path.exists():
+                tmp = path.with_suffix(f".{os.getpid()}.tmp")
+                tmp.write_bytes(blob)
+                tmp.replace(path)
+            tok = NativeWordPieceTokenizer(path)
+            if tok.native_available:
+                return tok
+        except Exception:
+            pass
+        return WordPieceTokenizer(vocab=self.bert_vocab)
 
 
 def _vocab_list(vocab: dict[str, int]) -> list[str]:
@@ -70,6 +98,10 @@ def save_bundle(bundle: ModelBundle, path: str | Path, timestamped_copy: bool = 
         "thresholds": bundle.thresholds,
         "bert_vocab": _vocab_list(bundle.bert_vocab),
         "t5_vocab": _vocab_list(bundle.t5_vocab),
+        "t5_scores": (
+            [bundle.t5_scores.get(i) for i in range(len(bundle.t5_vocab))]
+            if bundle.t5_scores else None
+        ),
         "metadata": bundle.metadata or {},
     }
     header_bytes = json.dumps(header).encode("utf-8")
@@ -107,11 +139,16 @@ def load_bundle(src: str | Path | bytes) -> ModelBundle:
         lambda: init_diagnosis_model(jax.random.key(0), config)[1]
     )
     variables = serialization.from_bytes(template, blob)
+    raw_scores = header.get("t5_scores")
     return ModelBundle(
         config=config,
         variables=variables,
         bert_vocab={t: i for i, t in enumerate(header["bert_vocab"])},
         t5_vocab={t: i for i, t in enumerate(header["t5_vocab"])},
+        t5_scores=(
+            {i: float(s) for i, s in enumerate(raw_scores) if s is not None}
+            if raw_scores else None
+        ),
         class_names=header["class_names"],
         thresholds=header["thresholds"],
         version=header["version"],
@@ -143,12 +180,33 @@ def split_variables(variables: dict) -> tuple[dict, dict, dict]:
 
 
 def default_vocabs() -> tuple[dict[str, int], dict[str, int]]:
-    assets = Path(__file__).resolve().parents[1] / "assets"
+    bert_vocab, (t5_vocab, _) = _default_bert_vocab(), default_t5_vocab()
+    return bert_vocab, t5_vocab
 
-    def read(p):
-        return {t: i for i, t in enumerate(p.read_text(encoding="utf-8").splitlines())}
 
-    return read(assets / "bert_vocab.txt"), read(assets / "t5_vocab.txt")
+def _assets() -> Path:
+    return Path(__file__).resolve().parents[1] / "assets"
+
+
+def _default_bert_vocab() -> dict[str, int]:
+    p = _assets() / "bert_vocab.txt"
+    return {t: i for i, t in enumerate(p.read_text(encoding="utf-8").splitlines())}
+
+
+def default_t5_vocab() -> tuple[dict[str, int], dict[int, float] | None]:
+    """The shipped T5 vocab: scored TSV (spm_export_vocab format) -> unigram
+    scores; plain piece-per-line -> (vocab, None)."""
+    vocab: dict[str, int] = {}
+    scores: dict[int, float] = {}
+    lines = (_assets() / "t5_vocab.txt").read_text(encoding="utf-8").splitlines()
+    for i, line in enumerate(lines):
+        if "\t" in line:
+            piece, score = line.split("\t", 1)
+            vocab[piece] = i
+            scores[i] = float(score)
+        else:
+            vocab[line] = i
+    return vocab, (scores or None)
 
 
 def bundle_from_torch(path_or_blob, t5_num_layers: int = 6) -> ModelBundle:
@@ -170,17 +228,73 @@ def bundle_from_torch(path_or_blob, t5_num_layers: int = 6) -> ModelBundle:
     image_vars = ti.import_image_encoder(blob["image_state"])
     text_vars = ti.import_text_encoder(blob["text_state"])
     fusion_vars = ti.import_fusion(blob["fusion_state"], num_layers=t5_num_layers)
-    bert_vocab, t5_vocab = default_vocabs()
+    bert_vocab = _default_bert_vocab()
+    t5_vocab, t5_scores = default_t5_vocab()
     artifacts = (blob["cfg"].get("artifacts") or {})
     return ModelBundle(
         config=config,
         variables=assemble_variables(image_vars, text_vars, fusion_vars),
         bert_vocab=bert_vocab,
         t5_vocab=t5_vocab,
+        t5_scores=t5_scores,
         class_names=artifacts.get("class_names", list(DISEASES)),
         thresholds=artifacts.get("thresholds", [0.5] * 13),
         version=int(blob.get("version", 1)),
         metadata={"imported_from": "torch_model_bundle"},
+    )
+
+
+def bundle_from_torch_registry_dir(path: str | Path, version: int | None = None,
+                                   t5_num_layers: int = 6) -> ModelBundle:
+    """Import the reference's Hopsworks model-registry directory layout:
+    {``fusion_model.pt``, ``image_encoder.pt``, ``text_encoder.pt``,
+    ``config.json``, optional ``t5_assets/``} — written by the reference's
+    ``save_model_to_hopsworks_model_registry`` (training_pipeline.py:675-729)
+    and consumed by ``load_model_from_hopsworks_model_registry``
+    (inference_pipeline.py:53-139).
+
+    If ``t5_assets/spiece.model`` exists (saved by ``t5_tokenizer.
+    save_pretrained``, :724-729) the real SentencePiece vocab+scores load from
+    it for id-level tokenizer parity; otherwise the shipped vocab is used.
+    """
+    from mmdx_tpu.checkpoints import torch_import as ti
+
+    path = Path(path)
+    cfg_dict = json.loads((path / "config.json").read_text(encoding="utf-8"))
+    config = DiagnosisConfig.from_reference_json(cfg_dict)
+
+    fusion_sd = ti.load_torch_state_dict(path / "fusion_model.pt")
+    fusion_vars = ti.import_fusion(fusion_sd, num_layers=t5_num_layers)
+    img_p, txt_p = path / "image_encoder.pt", path / "text_encoder.pt"
+    if not img_p.exists() or not txt_p.exists():
+        raise ValueError(
+            "registry dir must contain image_encoder.pt and text_encoder.pt "
+            "(the serving path needs both towers)"
+        )
+    image_vars = ti.import_image_encoder(ti.load_torch_state_dict(img_p))
+    text_vars = ti.import_text_encoder(ti.load_torch_state_dict(txt_p))
+
+    bert_vocab = _default_bert_vocab()
+    spiece = path / "t5_assets" / "spiece.model"
+    if spiece.exists():
+        from mmdx_tpu.text.spm_reader import read_spiece_vocab
+
+        t5_vocab, t5_scores = read_spiece_vocab(spiece)
+    else:
+        t5_vocab, t5_scores = default_t5_vocab()
+
+    artifacts = cfg_dict.get("artifacts") or {}
+    n_disease = (cfg_dict.get("fusion") or {}).get("n_disease") or 13
+    return ModelBundle(
+        config=config,
+        variables=assemble_variables(image_vars, text_vars, fusion_vars),
+        bert_vocab=bert_vocab,
+        t5_vocab=t5_vocab,
+        t5_scores=t5_scores,
+        class_names=artifacts.get("class_names", list(DISEASES)),
+        thresholds=artifacts.get("thresholds", [0.5] * n_disease),
+        version=int(version or 1),
+        metadata={"imported_from": "torch_registry_dir", "dir": str(path)},
     )
 
 
@@ -194,7 +308,8 @@ def new_random_bundle(seed: int = 0, config: DiagnosisConfig | None = None,
                                  ReportDecoderConfig, TextEncoderConfig)
     from mmdx_tpu.models.diagnosis import init_diagnosis_model
 
-    bert_vocab, t5_vocab = default_vocabs()
+    bert_vocab = _default_bert_vocab()
+    t5_vocab, t5_scores = default_t5_vocab()
     if config is None:
         if small:
             config = DiagnosisConfig(
@@ -220,6 +335,7 @@ def new_random_bundle(seed: int = 0, config: DiagnosisConfig | None = None,
         variables=variables,
         bert_vocab=bert_vocab,
         t5_vocab=t5_vocab,
+        t5_scores=t5_scores,
         class_names=list(config.class_names),
         thresholds=list(config.thresholds),
         version=1,

@@ -37,7 +37,7 @@ SYMPTOMS_MAP: dict[str, list[str]] = {
     "No Finding": ["routine screening", "no acute symptoms", "follow up"],
     "Enlarged Cardiomediastinum": ["chest fullness", "shortness of breath", "fatigue"],
     "Cardiomegaly": ["exertional dyspnea", "leg swelling", "orthopnea", "fatigue"],
-    "Lung Opacity": ["cough", "shortness of breath", "low grade fever"],
+    "Lung Opacity": ["nonproductive cough", "mild dyspnea", "intermittent fever"],
     "Lung Lesion": ["weight loss", "chronic cough", "hemoptysis"],
     "Edema": ["shortness of breath", "orthopnea", "leg swelling"],
     "Consolidation": ["productive cough", "fever", "pleuritic chest pain"],

@@ -1,25 +1,37 @@
-"""T5-conventions subword tokenizer (SentencePiece-style, greedy longest match).
+"""T5 subword tokenizer: SentencePiece unigram-LM (Viterbi) segmentation.
 
 The reference decodes reports with the hub-downloaded ``T5Tokenizer``
 (reference ``backend/ml/pipelines/training_pipeline.py:980``,
-``inference_pipeline.py:196``).  With no hub access, we own the tokenizer: the
-id conventions match T5 exactly (pad=0 doubles as decoder_start, eos=1 </s>,
-unk=2) so generated id sequences from our beam search decode directly; the
-piece inventory comes from a local vocab file (built by text/vocab_builder.py)
-using SentencePiece's ``▁`` word-boundary convention.
+``inference_pipeline.py:196``), whose ``spiece.model`` is a SentencePiece
+**unigram** model.  With no hub access we own the tokenizer, implementing the
+same segmentation algorithm so a real exported vocabulary is a drop-in:
 
-A user with the real ``spiece.model`` vocabulary exported to text can drop it
-in for id-compatibility with the reference's checkpoints.
+  * ``spm_export_vocab`` TSV format (``piece\\tscore`` per line, log-prob
+    scores) loads directly and yields unigram-LM Viterbi segmentation — the
+    max-sum-of-scores path over the whole normalized sentence, matching
+    SentencePiece's ``unigram_model.cc`` (per-position trie matches; positions
+    with no single-char piece get an unk node scored ``min_score - 10.0``,
+    SentencePiece's kUnkPenalty).
+  * normalization approximates nmt_nfkc: NFKC + whitespace collapse; then the
+    ``add_dummy_prefix`` convention (leading ``▁``, spaces -> ``▁``). T5 is
+    CASED — no lowercasing.
+  * a plain piece-per-line vocab (no scores) falls back to greedy
+    longest-match (the legacy mode, still cased).
+
+Id conventions match T5 exactly (pad=0 doubles as decoder_start, eos=1 </s>,
+unk=2) so generated id sequences from our beam search decode directly.
 """
 from __future__ import annotations
 
+import unicodedata
 from pathlib import Path
 
-WORD_BOUNDARY = "▁"  # ▁
+WORD_BOUNDARY = "▁"  # U+2581
+UNK_PENALTY = 10.0  # SentencePiece kUnkPenalty (unigram_model.cc)
 
 
 class T5StyleTokenizer:
-    """Greedy longest-match subword tokenizer with T5 special-token ids."""
+    """SentencePiece-unigram-compatible tokenizer with T5 special-token ids."""
 
     pad_token = "<pad>"
     eos_token = "</s>"
@@ -29,25 +41,97 @@ class T5StyleTokenizer:
     unk_token_id = 2
 
     def __init__(self, vocab_file: str | Path | None = None,
-                 vocab: dict[str, int] | None = None):
+                 vocab: dict[str, int] | None = None,
+                 scores: dict[int, float] | None = None):
+        """``vocab_file`` may be scored TSV (``piece\\tscore``, the
+        spm_export_vocab format -> unigram Viterbi) or piece-per-line
+        (-> greedy longest-match)."""
         if vocab is None:
             if vocab_file is None:
                 raise ValueError("need vocab_file or vocab")
             vocab = {}
+            scores = {}
             with open(vocab_file, encoding="utf-8") as f:
                 for i, line in enumerate(f):
-                    vocab[line.rstrip("\n")] = i
+                    line = line.rstrip("\n")
+                    if "\t" in line:
+                        piece, score = line.split("\t", 1)
+                        vocab[piece] = i
+                        scores[i] = float(score)
+                    else:
+                        vocab[line] = i
+            if not scores:
+                scores = None
         assert vocab.get(self.pad_token) == 0 and vocab.get(self.eos_token) == 1
         self.vocab = vocab
+        self.scores = scores
         self.inv_vocab = {i: t for t, i in vocab.items()}
-        self.max_piece_len = max((len(t) for t in vocab), default=1)
+        # control/user-defined symbols (<pad>, </s>, <unk>, <extra_id_*>) are
+        # excluded from segmentation matching, like SentencePiece's trie
+        self._pieces = {
+            t: i for t, i in vocab.items()
+            if not (t.startswith("<") and t.endswith(">"))
+        }
+        self.max_piece_len = max((len(t) for t in self._pieces), default=1)
+        if scores:
+            self.unk_score = min(scores.values()) - UNK_PENALTY
+        self.algorithm = "unigram" if scores else "greedy"
 
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)
 
-    def _encode_word(self, word: str) -> list[int]:
-        """Greedy longest-match over '▁word' (char-fallback to unk)."""
+    # ------------------------------------------------------------------
+    @staticmethod
+    def normalize(text: str) -> str:
+        """NFKC + whitespace collapse (approximation of nmt_nfkc)."""
+        text = unicodedata.normalize("NFKC", text)
+        return " ".join(text.split())
+
+    def _viterbi(self, s: str) -> list[int]:
+        """Max-score segmentation of the full transformed sentence ``s``
+        (already ▁-escaped). Per-position candidates: every vocab piece
+        starting there; if no single-char piece exists at a position, an unk
+        node (one char, ``min_score - 10``) — SentencePiece PopulateNodes."""
+        n = len(s)
+        neg = float("-inf")
+        best = [neg] * (n + 1)
+        best[0] = 0.0
+        back: list[tuple[int, int] | None] = [None] * (n + 1)
+        pieces, scores = self._pieces, self.scores
+        for start in range(n):
+            b = best[start]
+            if b == neg:
+                continue
+            has_single = False
+            top = min(self.max_piece_len, n - start)
+            for length in range(1, top + 1):
+                pid = pieces.get(s[start:start + length])
+                if pid is None:
+                    continue
+                if length == 1:
+                    has_single = True
+                sc = b + scores[pid]
+                if sc > best[start + length]:
+                    best[start + length] = sc
+                    back[start + length] = (start, pid)
+            if not has_single:
+                sc = b + self.unk_score
+                if sc > best[start + 1]:
+                    best[start + 1] = sc
+                    back[start + 1] = (start, self.unk_token_id)
+        ids: list[int] = []
+        pos = n
+        while pos > 0:
+            start, pid = back[pos]  # type: ignore[misc]
+            ids.append(pid)
+            pos = start
+        ids.reverse()
+        return ids
+
+    def _encode_word_greedy(self, word: str) -> list[int]:
+        """Greedy longest-match over '▁word' (char-fallback to unk) — legacy
+        mode for unscored vocabs."""
         text = WORD_BOUNDARY + word
         ids: list[int] = []
         start = 0
@@ -56,7 +140,7 @@ class T5StyleTokenizer:
             end = min(n, start + self.max_piece_len)
             piece_id = None
             while end > start:
-                pid = self.vocab.get(text[start:end])
+                pid = self._pieces.get(text[start:end])
                 if pid is not None:
                     piece_id = pid
                     break
@@ -69,11 +153,23 @@ class T5StyleTokenizer:
                 start = end
         return ids
 
+    def tokenize(self, text: str) -> list[str]:
+        """Text -> piece strings (HF-style convenience)."""
+        return [self.inv_vocab[i] for i in self.encode(text, add_eos=False)]
+
     def encode(self, text: str, max_length: int | None = None,
                add_eos: bool = True) -> list[int]:
+        text = self.normalize(text)
         ids: list[int] = []
-        for word in text.lower().split():
-            ids.extend(self._encode_word(word))
+        if text:
+            if self.algorithm == "unigram":
+                # add_dummy_prefix + space escaping, whole-sentence Viterbi
+                ids = self._viterbi(
+                    WORD_BOUNDARY + text.replace(" ", WORD_BOUNDARY)
+                )
+            else:
+                for word in text.split():
+                    ids.extend(self._encode_word_greedy(word))
         if add_eos:
             ids = ids[: (max_length - 1) if max_length else None] + [self.eos_token_id]
         if max_length is not None:

@@ -49,14 +49,15 @@ def build_wordpiece_vocab(corpus: list[str], vocab_size: int = 8192,
 
 def build_t5_vocab(corpus: list[str], vocab_size: int = 8192,
                    num_extra_ids: int = 100) -> list[str]:
-    """T5-style piece list: <pad>, </s>, <unk>, ▁-prefixed words/chars, suffix
-    pieces by frequency, then <extra_id_*> sentinels at the top (T5 layout)."""
+    """T5-style piece list (CASED, like the real T5 spiece model): <pad>,
+    </s>, <unk>, ▁-prefixed words/chars, suffix pieces by frequency, then
+    <extra_id_*> sentinels at the top (T5 layout)."""
     from mmdx_tpu.text.t5_tokenizer import WORD_BOUNDARY as WB
 
     counts: collections.Counter[str] = collections.Counter()
     chars: set[str] = set()
     for line in corpus:
-        for w in line.lower().split():
+        for w in line.split():
             counts[w] += 1
             chars.update(w)
 
@@ -77,6 +78,39 @@ def build_t5_vocab(corpus: list[str], vocab_size: int = 8192,
     return pieces
 
 
+def score_t5_vocab(pieces: list[str], corpus: list[str],
+                   em_iters: int = 2) -> list[tuple[str, float]]:
+    """Fit unigram-LM log-prob scores for a piece inventory on a corpus
+    (a lightweight stand-in for SentencePiece's EM trainer: segment corpus
+    with current scores -> recount -> rescore).  Output pairs in
+    spm_export_vocab TSV order; control/sentinel pieces score 0 like
+    SentencePiece's."""
+    import math
+
+    from mmdx_tpu.text.t5_tokenizer import T5StyleTokenizer
+
+    vocab = {p: i for i, p in enumerate(pieces)}
+    is_control = [p.startswith("<") and p.endswith(">") for p in pieces]
+    # init: uniform-ish, longer pieces slightly preferred so the first
+    # segmentation pass resembles longest-match
+    scores = {i: -10.0 + 0.1 * len(p) for i, p in enumerate(pieces)}
+    for _ in range(max(1, em_iters)):
+        tok = T5StyleTokenizer(vocab=vocab, scores=scores)
+        counts = collections.Counter()
+        for line in corpus:
+            counts.update(tok.encode(line, add_eos=False))
+        total = sum(counts.values()) or 1
+        floor = math.log(0.1 / total)
+        scores = {
+            i: (math.log(counts[i] / total) if counts.get(i) else floor)
+            for i in range(len(pieces))
+        }
+    return [
+        (p, 0.0 if is_control[i] else round(scores[i], 6))
+        for i, p in enumerate(pieces)
+    ]
+
+
 def default_medical_corpus(n_synthetic: int = 3000, seed: int = 7) -> list[str]:
     """Synthesized domain corpus (diseases, symptoms, report phrasing, and a few
     thousand sampled patient-details strings covering the serving input space)."""
@@ -89,14 +123,17 @@ def default_medical_corpus(n_synthetic: int = 3000, seed: int = 7) -> list[str]:
         synthesize_patient_details,
     )
 
+    # cased, like the inputs at serving time (the WordPiece builder lowercases
+    # internally for the uncased BERT vocab; the T5 vocab is cased like the
+    # real spiece model)
     lines: list[str] = []
-    lines += [d.lower() for d in DISEASES]
+    lines += list(DISEASES)
     for disease, symptoms in SYMPTOMS_MAP.items():
-        lines.append(disease.lower() + " , " + " , ".join(symptoms))
-    lines += [p.lower() for p in REPORT_PHRASES]
+        lines.append(disease + " , " + " , ".join(symptoms))
+    lines += list(REPORT_PHRASES)
     ages = [f"{a} year old {s} {v} view" for a in (18, 31, 44, 57, 63, 78, 85)
             for s in ("male", "female") for v in ("PA", "AP", "lateral")]
-    lines += [a.lower() for a in ages]
+    lines += ages
     lines += [
         "smoking history of 40 pack years , hypertension , productive cough",
         "leg swelling , shortness of breath , low grade fever , cough",
@@ -117,14 +154,20 @@ def default_medical_corpus(n_synthetic: int = 3000, seed: int = 7) -> list[str]:
     rng = random.Random(seed)
     for i in range(n_synthetic):
         vec = [1 if rng.random() < 0.2 else 0 for _ in range(len(DISEASES))]
-        lines.append(synthesize_patient_details(vec, rng).lower())
+        lines.append(synthesize_patient_details(vec, rng))
         if i % 3 == 0:
-            lines.append(" ".join(rng.sample(REPORT_PHRASES, 2)).lower())
+            lines.append(" ".join(rng.sample(REPORT_PHRASES, 2)))
     return lines
 
 
-def write_vocab(tokens: list[str], path: str | Path) -> Path:
+def write_vocab(tokens, path: str | Path) -> Path:
+    """Write a vocab file: plain piece-per-line for a list of strings, or
+    spm_export_vocab-style TSV (piece\\tscore) for (piece, score) pairs."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    lines = [
+        t if isinstance(t, str) else f"{t[0]}\t{t[1]}"
+        for t in tokens
+    ]
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
     return path

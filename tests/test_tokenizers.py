@@ -90,3 +90,75 @@ def test_t5_unknown_chars_fallback():
     tok = T5StyleTokenizer(vocab=dict((p, i) for i, p in enumerate(pieces)))
     ids = tok.encode("abc zzz 中")
     assert tok.unk_token_id in ids or len(ids) > 0
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (Viterbi) mode — the SentencePiece-compatible segmentation
+# ---------------------------------------------------------------------------
+def _unigram_tok(scored: dict[str, float]):
+    """Build a T5StyleTokenizer from {piece: score} (specials auto-added)."""
+    pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0)] + list(scored.items())
+    vocab = {p: i for i, (p, _) in enumerate(pieces)}
+    scores = {i: s for i, (_, s) in enumerate(pieces)}
+    return T5StyleTokenizer(vocab=vocab, scores=scores)
+
+
+def test_unigram_viterbi_beats_greedy():
+    """Hand-built model where longest-match is suboptimal: 'abc' segments as
+    ▁a + bc (score -2.5), not the greedy ▁ab + c (score -4.0)."""
+    tok = _unigram_tok({"▁ab": -1.0, "c": -3.0, "▁a": -1.5, "bc": -1.0})
+    assert tok.algorithm == "unigram"
+    assert tok.tokenize("abc") == ["▁a", "bc"]
+
+
+def test_unigram_whole_sentence_segmentation():
+    """Pieces may span the (escaped) space between words — segmentation runs
+    over the full sentence like SentencePiece, not word-by-word."""
+    tok = _unigram_tok({
+        "▁of▁the": -1.0, "▁of": -2.0, "▁the": -2.0,
+        "o": -8.0, "f": -8.0, "t": -8.0, "h": -8.0, "e": -8.0, "▁": -8.0,
+    })
+    assert tok.tokenize("of the") == ["▁of▁the"]
+
+
+def test_unigram_unk_per_uncovered_char():
+    """A position with no single-char piece gets an unk node scored
+    min_score - 10 (SentencePiece kUnkPenalty); known chars still match."""
+    tok = _unigram_tok({"▁a": -1.0, "b": -2.0, "▁": -3.0})
+    ids = tok.encode("aZb", add_eos=False)
+    assert ids == [tok.vocab["▁a"], tok.unk_token_id, tok.vocab["b"]]
+
+
+def test_unigram_is_cased():
+    """T5 is cased: 'PA' must not be lowercased into different pieces."""
+    tok = _unigram_tok({"▁PA": -1.0, "▁pa": -1.0, "▁": -5.0,
+                        "P": -6.0, "A": -6.0, "p": -6.0, "a": -6.0})
+    assert tok.tokenize("PA") == ["▁PA"]
+    assert tok.tokenize("pa") == ["▁pa"]
+
+
+def test_unigram_scored_tsv_roundtrip(tmp_path):
+    """spm_export_vocab-style TSV loads into unigram mode and survives a
+    write/load cycle with identical segmentations."""
+    pairs = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0),
+             ("▁ab", -1.0), ("c", -3.0), ("▁a", -1.5), ("bc", -1.0)]
+    path = write_vocab(pairs, tmp_path / "spiece_vocab.tsv")
+    tok = T5StyleTokenizer(vocab_file=path)
+    assert tok.algorithm == "unigram"
+    assert tok.tokenize("abc") == ["▁a", "bc"]
+
+
+def test_unigram_shipped_vocab_roundtrip():
+    """The scored synthetic vocab segments + decodes domain text losslessly."""
+    from mmdx_tpu.text.vocab_builder import score_t5_vocab
+
+    corpus = default_medical_corpus(n_synthetic=200)
+    scored = score_t5_vocab(build_t5_vocab(corpus, vocab_size=2048), corpus,
+                            em_iters=1)
+    vocab = {p: i for i, (p, _) in enumerate(scored)}
+    scores = {i: s for i, (_, s) in enumerate(scored)}
+    tok = T5StyleTokenizer(vocab=vocab, scores=scores)
+    text = "The lungs are clear without focal consolidation , effusion or pneumothorax ."
+    ids = tok.encode(text)
+    assert ids[-1] == tok.eos_token_id
+    assert tok.decode(ids) == text
