@@ -137,8 +137,18 @@ class S3Store(ObjectStore):
             return False
 
     def list(self, prefix: str = "") -> list[str]:
-        resp = self._client.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
-        return [o["Key"] for o in resp.get("Contents", [])]
+        # paginate: list_objects_v2 caps a single response at 1000 keys
+        keys: list[str] = []
+        token = None
+        while True:
+            kwargs = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self._client.list_objects_v2(**kwargs)
+            keys.extend(o["Key"] for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                return keys
+            token = resp.get("NextContinuationToken")
 
 
 _REGISTRY: dict[str, ObjectStore] = {}

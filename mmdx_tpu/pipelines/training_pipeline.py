@@ -214,6 +214,14 @@ class TrainingOptions:
     lr_t5: float = 2e-5
     weight_decay: float = 1e-2
     seed: int = 0
+    # held-out evaluation split (the reference evaluates nothing — its metrics
+    # are hardcoded, :1112; we train on (1-val_fraction) and report metrics on
+    # unseen rows)
+    val_fraction: float = 0.2
+    # "bfloat16" = TPU-native AMP: bf16 compute, fp32 master weights (the
+    # reference's CUDA autocast+GradScaler path, :1025-1026; bf16 needs no
+    # loss scaling)
+    compute_dtype: str = "float32"
     log_every: int = 25  # (:1063)
     publish_model_name: str = "fusion_model_T5"
     log: Callable[[str], None] = field(default=print)
@@ -266,15 +274,27 @@ def run_training_pipeline(
     log("[mmdx] loading features from feature store")
     df = load_features_labels_from_feature_store(feature_store)
 
+    # held-out split: deterministic shuffle, last val_fraction rows are never
+    # trained on (too-small datasets fall back to train-set eval, labeled so)
+    shuffled = df.sample(frac=1.0, random_state=opt.seed).reset_index(drop=True)
+    n_val = int(len(shuffled) * opt.val_fraction) if len(shuffled) >= 5 else 0
+    val_df = shuffled.iloc[len(shuffled) - n_val:].reset_index(drop=True)
+    train_df = shuffled.iloc[: len(shuffled) - n_val].reset_index(drop=True)
+    log(f"[mmdx] split: {len(train_df)} train / {len(val_df)} val rows")
+
+    dtype = (
+        jnp.bfloat16 if opt.compute_dtype in ("bfloat16", "bf16") else jnp.float32
+    )
+
     image_vars, text_vars, fusion_vars = split_variables(bundle.variables)
     losses: dict[str, list[float]] = {}
 
     # ---- image tower, two phases, fed by the prefetching DataLoader ----
     from mmdx_tpu.pipelines.dataloader import CXRImageDataset, DataLoader
 
-    image_model = ImageEncoder(config=cfg.image)
+    image_model = ImageEncoder(config=cfg.image, dtype=dtype)
     dataset = CXRImageDataset.from_dataframe(
-        df, img_size=cfg.image.img_size, resize_size=cfg.image.resize_size
+        train_df, img_size=cfg.image.img_size, resize_size=cfg.image.resize_size
     )
     loader = DataLoader(dataset, batch_size=min(opt.image_batch, len(dataset)),
                         shuffle=True, seed=opt.seed, drop_last=True)
@@ -297,10 +317,10 @@ def run_training_pipeline(
         log(f"[mmdx] image phase {phase}: loss {losses[key]}")
 
     # text batch (patient details + labels) for the text phases
-    _, _, tok, y, _ = _fetch_training_batch(df, engine, opt.image_batch, opt.seed)
+    _, _, tok, y, _ = _fetch_training_batch(train_df, engine, opt.image_batch, opt.seed)
 
     # ---- text tower, two phases ----
-    text_model = TextEncoder(config=cfg.text)
+    text_model = TextEncoder(config=cfg.text, dtype=dtype)
     for phase, steps in ((1, opt.text_steps_per_phase), (2, opt.text_steps_per_phase)):
         tx = build_encoder_optimizer(
             text_vars["params"], "bert", phase,
@@ -323,14 +343,15 @@ def run_training_pipeline(
 
     # ---- fusion on frozen precomputed embeddings (:996-1009) ----
     rows, f_imgs, f_tok, f_y, f_report_labels = _fetch_training_batch(
-        df, engine, opt.fusion_batch, opt.seed + 42
+        train_df, engine, opt.fusion_batch, opt.seed + 42
     )
     z_img = image_model.apply(image_vars, f_imgs, train=False)["embeddings"]
     z_txt = text_model.apply(
         text_vars, f_tok["input_ids"], f_tok["attention_mask"], f_tok["token_type_ids"]
     )["embeddings"]
 
-    fusion_model = FusionModel(config=cfg.fusion, report_config=cfg.report)
+    fusion_model = FusionModel(config=cfg.fusion, report_config=cfg.report,
+                               dtype=dtype)
     tx = build_fusion_optimizer(
         fusion_vars["params"], lr_heads=opt.lr_head, lr_t5=opt.lr_t5,
         weight_decay=opt.weight_decay,
@@ -366,21 +387,44 @@ def run_training_pipeline(
         variables=assemble_variables(image_vars, text_vars, fusion_vars),
         bert_vocab=bundle.bert_vocab,
         t5_vocab=bundle.t5_vocab,
+        t5_scores=bundle.t5_scores,
         class_names=bundle.class_names,
         thresholds=bundle.thresholds,
         version=bundle.version,
     )
     eval_engine = InferenceEngine(trained, mode="parity")
-    probs, zi, zt = eval_engine.classify_batch(
-        [open_url_bytes(u) for u in rows["image_url"]],
-        rows["patient_details"].astype(str).tolist(),
-    )
-    reports = eval_engine.generate_reports(zi, zt, greedy=True)
+
+    def _evaluate(eval_rows, targets):
+        probs, zi, zt = eval_engine.classify_batch(
+            [open_url_bytes(u) for u in eval_rows["image_url"]],
+            eval_rows["patient_details"].astype(str).tolist(),
+        )
+        reps = eval_engine.generate_reports(zi, zt, greedy=True)
+        return (
+            auroc_micro(targets, probs),
+            rouge_l_corpus(eval_rows["report"].astype(str).tolist(), reps),
+            reps,
+        )
+
+    # training-set metrics on the fusion batch (fit diagnostics) ...
+    train_auroc, train_rouge, reports = _evaluate(rows, f_y)
     metrics = {
-        "val_auroc_micro": auroc_micro(f_y, probs),
-        "val_rougeL": rouge_l_corpus(rows["report"].astype(str).tolist(), reports),
+        "train_auroc_micro": train_auroc,
+        "train_rougeL": train_rouge,
         "final_fusion_loss": losses["fusion"][-1] if losses["fusion"] else None,
     }
+    # ... and honest held-out metrics on rows never trained on
+    if len(val_df):
+        val_y = np.stack([
+            np.asarray(v, np.float32)
+            for v in val_df["disease_classification_vector"]
+        ])
+        val_auroc, val_rouge, _ = _evaluate(val_df, val_y)
+        metrics["val_auroc_micro"] = val_auroc
+        metrics["val_rougeL"] = val_rouge
+    else:
+        log("[mmdx] WARNING: dataset too small for a held-out split; "
+            "val_* metrics omitted")
     log(f"[mmdx] metrics: {metrics}")
 
     version = registry.create_model(

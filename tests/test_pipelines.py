@@ -127,6 +127,59 @@ def test_training_pipeline_end_to_end(prepared_world, tmp_path):
     assert out["model_version"] == 1
 
 
+def test_bf16_training_tracks_fp32():
+    """The TPU-native AMP mode (bf16 compute, fp32 master weights — the
+    reference's CUDA autocast equivalent, training_pipeline.py:1025-1026):
+    loss trajectories track fp32 and params stay fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmdx_tpu.config import FusionConfig, ReportDecoderConfig
+    from mmdx_tpu.models.fusion import FusionModel
+    from mmdx_tpu.pipelines.training_pipeline import (
+        TrainState,
+        build_fusion_optimizer,
+        fusion_train_step,
+    )
+
+    fcfg = FusionConfig(d_img=16, d_txt=8, d_fuse_hidden=16)
+    rcfg = ReportDecoderConfig(
+        vocab_size=50, d_model=16, d_kv=4, d_ff=32, num_layers=1,
+        num_decoder_layers=1, num_heads=2, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20,
+    )
+    rng = np.random.default_rng(0)
+    z_img = rng.standard_normal((4, 16)).astype(np.float32)
+    z_txt = rng.standard_normal((4, 8)).astype(np.float32)
+    y = (rng.random((4, 13)) > 0.5).astype(np.float32)
+    labels = rng.integers(1, 50, (4, 6)).astype(np.int32)
+
+    traj = {}
+    for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = FusionModel(config=fcfg, report_config=rcfg, dtype=dtype)
+        variables = model.init(jax.random.key(0), z_img, z_txt, report_labels=labels)
+        # master weights are fp32 in BOTH modes (flax param_dtype default)
+        assert all(
+            np.asarray(l).dtype == np.float32
+            for l in jax.tree.leaves(variables["params"])
+        )
+        tx = build_fusion_optimizer(variables["params"])
+        state = TrainState.create(variables["params"], tx)
+        ls = []
+        key = jax.random.key(1)
+        for _ in range(8):
+            key, drop = jax.random.split(key)
+            state, (loss, _) = fusion_train_step(
+                model, tx, state, z_img, z_txt, y, labels, drop
+            )
+            ls.append(float(loss))
+        traj[name] = ls
+
+    a, b = np.asarray(traj["fp32"]), np.asarray(traj["bf16"])
+    assert a[-1] < a[0] and b[-1] < b[0]  # both learn
+    np.testing.assert_allclose(a, b, rtol=0.08)  # bf16 tracks fp32
+
+
 def test_phase1_freezes_backbone(prepared_world):
     """Phase-1 optimizer must leave backbone params untouched (reference
     freeze_backbone semantics)."""
