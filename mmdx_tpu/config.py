@@ -50,6 +50,12 @@ class ImageEncoderConfig:
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
     feat_dim: int = 2048  # pooled ResNet-50 feature width
+    # Pallas fused bottleneck (ops/pallas_bottleneck) for inference-mode
+    # stride-1 blocks up to this width — the HBM-bound early stages (width
+    # 64/128 = stages 1-2). 0 disables. Compiled-Pallas is TPU-only, so the
+    # engine flips this on in fast mode; training always uses the XLA path.
+    use_fused_bottleneck: bool = False
+    fused_bottleneck_max_width: int = 128
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,36 @@ from mmdx_tpu.config import ImageEncoderConfig
 RESNET50_STAGES = (3, 4, 6, 3)
 
 
+class _ConvKernel(nn.Module):
+    """Declares an nn.Conv-compatible 'kernel' param without computing — the
+    fused-bottleneck path reads raw weights (to BN-fold them) while keeping
+    the param tree identical to the nn.Conv layers of the XLA path."""
+
+    shape: tuple  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _BNParams(nn.Module):
+    """Declares nn.BatchNorm-compatible params + batch_stats without computing."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, identity shortcut."""
 
@@ -36,10 +66,14 @@ class Bottleneck(nn.Module):
     use_projection: bool = False
     bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
     bn_eps: float = 1e-5
+    use_fused: bool = False  # Pallas fused path (inference, stride 1 only)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.use_fused and not train and self.stride == 1:
+            return self._fused(x)
+
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train,
@@ -68,6 +102,33 @@ class Bottleneck(nn.Module):
         y = bn("bn3")(y)
         return nn.relu(y + shortcut)
 
+    def _fused(self, x):
+        """Single-kernel bottleneck (ops/pallas_bottleneck): BNs folded into
+        the conv weights in f32, one HBM read + one write per block instead of
+        the XLA path's per-conv round-trips. Param tree is identical to the
+        unfused branch (same names, shapes, collections)."""
+        from mmdx_tpu.ops.pallas_bottleneck import fold_bn, fused_bottleneck
+
+        cin = x.shape[-1]
+        m, cout = self.width, self.width * 4
+        k1 = _ConvKernel((1, 1, cin, m), name="conv1")()
+        w1, b1 = fold_bn(k1[0, 0], *_BNParams(m, name="bn1")(), self.bn_eps)
+        k2 = _ConvKernel((3, 3, m, m), name="conv2")()
+        w2, b2 = fold_bn(k2, *_BNParams(m, name="bn2")(), self.bn_eps)
+        k3 = _ConvKernel((1, 1, m, cout), name="conv3")()
+        w3, b3 = fold_bn(k3[0, 0], *_BNParams(cout, name="bn3")(), self.bn_eps)
+        wp = bp = None
+        if self.use_projection:
+            kp = _ConvKernel((1, 1, cin, cout), name="downsample_conv")()
+            wp, bp = fold_bn(
+                kp[0, 0], *_BNParams(cout, name="downsample_bn")(), self.bn_eps
+            )
+            wp = wp.astype(self.dtype)
+        return fused_bottleneck(
+            x.astype(self.dtype), w1.astype(self.dtype), b1,
+            w2.astype(self.dtype), b2, w3.astype(self.dtype), b3, wp, bp,
+        )
+
 
 class ResNet50(nn.Module):
     """ResNet-50 feature extractor: NHWC in, pooled [B, 2048] features out."""
@@ -75,6 +136,7 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = RESNET50_STAGES
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    fuse_max_width: int = 0  # fuse stride-1 bottlenecks up to this width
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -104,6 +166,7 @@ class ResNet50(nn.Module):
                     use_projection=(block == 0),
                     bn_momentum=self.bn_momentum,
                     bn_eps=self.bn_eps,
+                    use_fused=0 < width <= self.fuse_max_width,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train=train)
@@ -126,6 +189,10 @@ class ImageEncoder(nn.Module):
         self.backbone = ResNet50(
             bn_momentum=1.0 - self.config.bn_momentum,
             bn_eps=self.config.bn_eps,
+            fuse_max_width=(
+                self.config.fused_bottleneck_max_width
+                if self.config.use_fused_bottleneck else 0
+            ),
             dtype=self.dtype,
             name="backbone",
         )

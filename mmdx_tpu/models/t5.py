@@ -149,59 +149,52 @@ class T5Attention(nn.Module):
         """One-token beam self-attention over a PHYSICAL (never reordered)
         cache, resolving beam histories through the ancestry index.
 
-        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B,heads,nb,Lmax,d_kv]
-        (the BEAM layout, built by ``init_cache(..., beam_width=nb)``) — slot
-        j's row at position t holds the K/V written by whatever beam occupied
-        slot j at step t; anc: [B,nb,Lmax] int32 with anc[b,i,t] = physical
+        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B,heads,nb*Lmax,d_kv]
+        in POSITION-MAJOR flat layout (built by ``init_cache(...,
+        beam_width=nb)``): row ``t*nb + j`` holds the K/V written at step t by
+        physical slot j.  anc: [B,nb,Lmax] int32 with anc[b,i,t] = physical
         slot owning beam (b,i)'s history at position t (entries at t >= pos
         are junk; position pos is always the slot's own write).
 
-        Computes scores against every physical slot then selects the
-        ancestor's row — nb-fold extra FLOPs (free at these sizes) in exchange
-        for never rewriting the O(N*Lmax*d) cache, which keeps the decode
-        while-loop carry aliased in place. The [B,h,nb,L,d] layout makes both
-        contractions dot_generals with batch dims (B,h) directly on the
-        cache's native layout — no full-cache transpose per step (that
-        transpose is slower than the gather it replaces).
+        Each query attends over ALL nb*Lmax physical rows with non-ancestor
+        rows masked to -inf — nb-fold extra FLOPs (free at these sizes) in
+        exchange for never rewriting the O(N*Lmax*d) cache. The flat layout
+        makes this the SAME 4D attention shape as the fast greedy path (no
+        rank-5 dots, no gathers — both lower pathologically), and the
+        position-major ordering makes the step's nb writes one contiguous
+        ``dynamic_update_slice``, keeping the while-loop carry aliased.
         """
         b, nb, lmax = anc.shape
         h, d = self.config.num_heads, self.config.d_kv
         n = b * nb
-        q = self._split(self.q(hidden_tok))  # [N,h,1,d]
-        # only the new token's K/V pays a (tiny) relayout into the beam cache
-        def to_beam(x):  # [N,h,1,d] -> [B,h,nb,1,d]
-            return x.reshape(b, nb, h, 1, d).transpose(0, 2, 1, 3, 4)
 
-        k_new = to_beam(self._split(self.k(hidden_tok)))
-        v_new = to_beam(self._split(self.v(hidden_tok)))
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos, axis=3)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos, axis=3)
+        def heads_major(x):  # [N,1,h*d] -> [B,h,nb,d]
+            return x.reshape(b, nb, h, d).transpose(0, 2, 1, 3)
 
-        qg = q.reshape(b, nb, h, d).transpose(0, 2, 1, 3)  # [B,h,nb(i),d]
+        q = heads_major(self.q(hidden_tok))  # [B,h,i,d]
+        k_new = heads_major(self.k(hidden_tok))  # [B,h,j,d]
+        v_new = heads_major(self.v(hidden_tok))
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos * nb, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos * nb, axis=2)
 
         # effective ancestry: position `pos` is this step's own write
         own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
         anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
+        # row t*nb+j is live for query i iff anc_eff[b,i,t] == j; the (L, nb)
+        # compare reshapes straight onto the position-major key axis
+        live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,L,j]
+        mask = jnp.where(live.reshape(b, nb, lmax * nb), 0.0, NEG_INF)
+        # causal + relative bias for query position pos, repeated per slot
+        bias = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
 
-        # scores vs every physical slot j: dot_general batch (B,h), native
-        # cache layout -> [B,h,i,j,L]
-        scores_all = jnp.einsum(
-            "bhid,bhjld->bhijl", qg, cache_k, preferred_element_type=jnp.float32
+        scores = jnp.einsum(
+            "bhid,bhkd->bhik", q, cache_k, preferred_element_type=jnp.float32
         )
-        idx = anc_eff[:, None, :, None, :].astype(jnp.int32)  # [B,1,i,1,L]
-        idx = jnp.broadcast_to(idx, (b, h, nb, 1, lmax))
-        scores = jnp.take_along_axis(scores_all, idx, axis=3)[:, :, :, 0, :]  # [B,h,i,L]
-        scores = scores + bias_row[0, :, 0, :][None, :, None, :]  # bias+causal
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)  # [B,h,i,L]
-
-        # context: out = sum_l p[l] * V[anc[l], l] via one-hot select;
-        # contraction over (j, L) again hits the cache's native layout
-        onehot = jax.nn.one_hot(anc_eff, nb, dtype=probs.dtype)  # [B,i,L,j]
-        onehot = onehot.transpose(0, 1, 3, 2)[:, None]  # [B,1,i,j,L]
-        p_sel = probs[:, :, :, None, :] * onehot  # [B,h,i,j,L]
+        scores = scores + bias[None, :, None, :] + mask[:, None]
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)  # [B,h,i,K]
         ctx = jnp.einsum(
-            "bhijl,bhjld->bhid", p_sel, cache_v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)  # [B,h,i,d]
+            "bhik,bhkd->bhid", probs, cache_v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
         out = ctx.transpose(0, 2, 1, 3).reshape(n, 1, h * d)
         return self.o(out), cache_k, cache_v
 
@@ -399,14 +392,15 @@ class T5(nn.Module):
 
         ``beam_width=None``: cache leaves are [batch, heads, max_len, d_kv]
         (for ``decode_step`` — greedy, or gather-mode beam search).
-        ``beam_width=nb``: BEAM layout [batch/nb, heads, nb, max_len, d_kv]
-        for ``decode_step_beam`` (ancestry mode; never reordered)."""
+        ``beam_width=nb``: BEAM layout [batch/nb, heads, nb*max_len, d_kv],
+        position-major flat (row t*nb + j = slot j's write at step t), for
+        ``decode_step_beam`` (ancestry mode; never reordered)."""
         cfg = self.config
         cache = []
         static_kv = []
         if beam_width:
             assert batch % beam_width == 0, (batch, beam_width)
-            shape = (batch // beam_width, cfg.num_heads, beam_width, max_len,
+            shape = (batch // beam_width, cfg.num_heads, beam_width * max_len,
                      cfg.d_kv)
         else:
             shape = (batch, cfg.num_heads, max_len, cfg.d_kv)

@@ -1,0 +1,117 @@
+"""Pallas fused ResNet bottleneck block (stride-1), one image per grid step.
+
+The early ResNet stages are HBM-bandwidth-bound: at serving batch 512 the
+56x56x256 stage-1 activations are ~820MB per tensor, and the XLA op-by-op
+path round-trips HBM between conv1/conv2/conv3 and the residual add
+(~3.3GB per block; measured 13.1ms for stage 1, ~27% MFU, vs 83-95% for the
+compute-bound stages 3-4 — see scripts/profile_components.py).
+
+This kernel computes the whole bottleneck
+
+    out = relu(conv3(relu(conv2(relu(conv1(x))))) + shortcut(x))
+
+reading x once and writing out once.  One full image per grid program: a
+56x56x256 bf16 image is 1.6MB, so the image, the widened 3x3 input, the f32
+accumulator and the output all sit in VMEM together.  The 3x3 conv runs as 9
+shifted [HW, M] x [M, M] matmuls against a zero-padded VMEM scratch (SAME
+padding), so no halo DMA is needed.  BatchNorms are folded into the conv
+weights by the caller (inference mode), matching the reference backbone's
+frozen-BN serving semantics (reference training_pipeline.py:176-197).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",))
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
+                     interpret: bool = False):
+    """Stride-1 bottleneck with BN pre-folded into (w, b) pairs.
+
+    x:  [B, H, W, Cin]   (bf16/f32)
+    w1: [Cin, M],  b1: [M]      (1x1 conv + folded BN1, then relu)
+    w2: [3, 3, M, M], b2: [M]   (3x3 SAME conv + folded BN2, then relu)
+    w3: [M, Cout], b3: [Cout]   (1x1 conv + folded BN3)
+    wp/bp: optional [Cin, Cout]/[Cout] folded 1x1 projection shortcut
+           (stage-1 block0); None = identity shortcut (requires Cin == Cout).
+    Returns relu(main + shortcut): [B, H, W, Cout], dtype of x.
+    """
+    b, h, w, cin = x.shape
+    m = w1.shape[1]
+    cout = w3.shape[1]
+    has_proj = wp is not None
+    if not has_proj:
+        assert cin == cout, (cin, cout)
+
+    def kernel(*refs):
+        if has_proj:
+            (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+             wp_ref, bp_ref, out_ref, x1_ref) = refs
+        else:
+            (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+             out_ref, x1_ref) = refs
+        rows = x_ref[0].reshape(h * w, cin)
+        x1 = jnp.dot(rows, w1_ref[...], preferred_element_type=jnp.float32)
+        x1 = jnp.maximum(x1 + b1_ref[...].astype(jnp.float32), 0.0)
+        # zero-padded (SAME) 3x3 input
+        x1_ref[...] = jnp.zeros_like(x1_ref)
+        x1_ref[1:h + 1, 1:w + 1, :] = x1.reshape(h, w, m).astype(x1_ref.dtype)
+        acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (h * w, m))
+        for dy in range(3):
+            for dx in range(3):
+                tap = x1_ref[dy:dy + h, dx:dx + w, :].reshape(h * w, m)
+                acc = acc + jnp.dot(tap, w2_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        x2 = jnp.maximum(acc, 0.0).astype(x_ref.dtype)
+        y = jnp.dot(x2, w3_ref[...], preferred_element_type=jnp.float32)
+        y = y + b3_ref[...].astype(jnp.float32)
+        if has_proj:
+            sc = jnp.dot(rows, wp_ref[...], preferred_element_type=jnp.float32)
+            sc = sc + bp_ref[...].astype(jnp.float32)
+        else:
+            sc = rows.astype(jnp.float32)
+        out = jnp.maximum(y + sc, 0.0)
+        out_ref[0] = out.reshape(h, w, cout).astype(out_ref.dtype)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0)),
+        full((cin, m)), full((1, m)),
+        full((3, 3, m, m)), full((1, m)),
+        full((m, cout)), full((1, cout)),
+    ]
+    args = [x, w1, b1[None], w2, b2[None], w3, b3[None]]
+    if has_proj:
+        in_specs += [full((cin, cout)), full((1, cout))]
+        args += [wp, bp[None]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, m), x.dtype)],
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def fold_bn(kernel, scale, bias, mean, var, eps):
+    """Fold an inference-mode BatchNorm into the preceding conv.
+
+    kernel: [..., Cout] conv weights; BN params are per-Cout vectors.
+    Returns (kernel * s, bias - mean * s) with s = scale / sqrt(var + eps),
+    computed in f32 and cast back to the kernel dtype.
+    """
+    s = (scale.astype(jnp.float32)
+         * jax.lax.rsqrt(var.astype(jnp.float32) + eps))
+    w = kernel.astype(jnp.float32) * s
+    b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * s
+    return w.astype(kernel.dtype), b

@@ -59,6 +59,9 @@ class InferenceEngine:
                     model_config.text, use_fused_ffn=True,
                     use_flash_attention=True,
                 ),
+                image=dataclasses.replace(
+                    model_config.image, use_fused_bottleneck=True,
+                ),
             )
         self.model_config = model_config
         self.model = MultiModalDiagnosisModel(config=model_config, dtype=self.dtype)

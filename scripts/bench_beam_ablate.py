@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Isolate where the beam-4 decode milliseconds go (real chip).
+
+Times, at full model size (t5-small decoder, vocab 32128, B=64, nb=4,
+N=256, lmax=181):
+  1. raw decode_step (greedy layout) in a fori_loop at N=256
+  2. raw decode_step_beam (ancestry layout) in a fori_loop at N=256
+  3. beam_search machinery with a dummy (single-matmul) step_fn
+  4. same, with no_repeat_ngram_size=0
+  5. full beam_search (ancestry) end-to-end
+
+Usage: python scripts/bench_beam_ablate.py [batch]
+"""
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.decode.beam_search import beam_search
+    from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    bundle = new_random_bundle(seed=0)
+    cfg = bundle.config
+    gen = cfg.generation
+    nb, v = gen.num_beams, cfg.report.vocab_size
+    n = b * nb
+    lmax = 1 + gen.max_new_tokens
+    model = MultiModalDiagnosisModel(config=cfg, dtype=jnp.bfloat16)
+    variables = bundle.variables
+    print(f"[ablate] device={jax.devices()[0].device_kind} B={b} nb={nb} N={n} "
+          f"lmax={lmax}", flush=True)
+
+    rng = np.random.default_rng(0)
+    z_img = jnp.asarray(rng.standard_normal((n, cfg.fusion.d_img)), jnp.float32)
+    z_txt = jnp.asarray(rng.standard_normal((n, cfg.fusion.d_txt)), jnp.float32)
+
+    # fn(*args, salt, iters) must return a SCALAR; the tunnel only truly syncs
+    # on a fetched value, and identical dispatches replay from cache, so every
+    # call gets a fresh salt and the clock stops on float().
+    _salt = iter(range(1, 10_000))
+
+    def timed(fn, *args, lo=8, hi=40, reps=3):
+        float(fn(*args, jnp.int32(next(_salt)), lo))
+        float(fn(*args, jnp.int32(next(_salt)), hi))
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(fn(*args, jnp.int32(next(_salt)), lo)); dl = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(fn(*args, jnp.int32(next(_salt)), hi)); dh = time.perf_counter() - t0
+            per = (dh - dl) / (hi - lo)
+            best = per if best is None else min(best, per)
+        return best
+
+    # ---- prep states ----
+    @functools.partial(jax.jit, static_argnames=("beam",))
+    def prep(variables, zi, zt, beam):
+        return model.apply(variables, zi, zt, lmax, beam,
+                           method=MultiModalDiagnosisModel.prepare_generation)
+
+    prep_g = prep(variables, z_img, z_txt, None)
+    prep_b = prep(variables, z_img, z_txt, nb)
+
+    # 1. raw greedy-layout step at N
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_greedy(variables, prep_g, salt, iters: int):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = model.apply(
+                variables, tok, i % (lmax - 1), cache, prep_g["static_kv"],
+                prep_g["self_bias"], prep_g["enc_mask"],
+                method=MultiModalDiagnosisModel.decode_step)
+            return jnp.argmax(logits, -1, keepdims=True).astype(jnp.int32), cache
+        tok0 = jnp.full((n, 1), salt % 1000, jnp.int32)
+        tok, _ = lax.fori_loop(0, iters, body, (tok0, prep_g["cache"]))
+        return jnp.sum(tok).astype(jnp.float32)
+
+    t = timed(loop_greedy, variables, prep_g)
+    print(f"[ablate] raw decode_step (greedy layout) N={n}: {t*1e3:.2f} ms/step", flush=True)
+
+    # 2. raw ancestry-beam step at N
+    anc0 = jnp.zeros((b, nb, lmax), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_beam(variables, prep_b, salt, iters: int):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = model.apply(
+                variables, tok, i % (lmax - 1), cache, anc0, prep_b["static_kv"],
+                prep_b["self_bias"], prep_b["enc_mask"],
+                method=MultiModalDiagnosisModel.decode_step_beam)
+            return jnp.argmax(logits, -1, keepdims=True).astype(jnp.int32), cache
+        tok0 = jnp.full((n, 1), salt % 1000, jnp.int32)
+        tok, _ = lax.fori_loop(0, iters, body, (tok0, prep_b["cache"]))
+        return jnp.sum(tok).astype(jnp.float32)
+
+    t = timed(loop_beam, variables, prep_b)
+    print(f"[ablate] raw decode_step_beam (ancestry) N={n}: {t*1e3:.2f} ms/step", flush=True)
+
+    # 3./4. machinery with dummy step (one [d,v] matmul so logits are real-ish)
+    w_dummy = jnp.asarray(rng.standard_normal((64, v)) * 0.1, jnp.bfloat16)
+
+    def dummy_step(tokens, pos, cache, anc=None):
+        h = jnp.take(w_dummy, tokens[:, 0] % 64, axis=0).astype(jnp.float32)
+        return h + cache["x"][:, :1], cache  # [N, v]
+
+    dummy_cache = {"x": jnp.zeros((n, 2), jnp.float32)}
+
+    for label, ngram in (("machinery+ngram3", 3), ("machinery+ngram0", 0)):
+        def run(cache_x, salt, iters, ngram=ngram):
+            cache = {"x": cache_x + salt.astype(jnp.float32) * 1e-3}
+            seqs, scores = beam_search(
+                dummy_step, cache, batch=b, vocab_size=v,
+                num_beams=nb, max_new_tokens=iters, min_new_tokens=iters,
+                no_repeat_ngram_size=ngram, length_penalty=gen.length_penalty,
+                early_stopping=gen.early_stopping,
+                eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
+                decoder_start_token_id=gen.decoder_start_token_id,
+                cache_mode="ancestry")
+            return jnp.sum(scores)
+
+        t = timed(run, dummy_cache["x"], lo=8, hi=40)
+        print(f"[ablate] {label} (dummy step): {t*1e3:.2f} ms/step", flush=True)
+
+    # 5. full beam search end-to-end (as served)
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    engine = InferenceEngine(bundle, mode="fast")
+    zi = jnp.asarray(rng.standard_normal((b, cfg.fusion.d_img)), jnp.float32)
+    zt = jnp.asarray(rng.standard_normal((b, cfg.fusion.d_txt)), jnp.float32)
+    engine.generate_reports(zi, zt)
+    best = None
+    for i in range(3):
+        r = np.random.default_rng(10 + i)
+        zi = jnp.asarray(r.standard_normal((b, cfg.fusion.d_img)), jnp.float32)
+        zt = jnp.asarray(r.standard_normal((b, cfg.fusion.d_txt)), jnp.float32)
+        t0 = time.perf_counter()
+        engine.generate_reports(zi, zt)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"[ablate] full beam-4 e2e: {b/best:.1f} reports/s "
+          f"(~{best/gen.max_new_tokens*1e3:.2f} ms/step upper bound)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
