@@ -69,6 +69,35 @@ def topk_small(x: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
 
 
+def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 1024):
+    """Exact top-k over a WIDE last axis via a two-level tournament.
+
+    ``topk_small`` pays k full passes over [N, V]; here V is split into
+    chunks, each chunk reduced to its max in ONE pass, the top-k CHUNKS
+    (by max) are gathered, and only the gathered k*chunk columns pay the
+    k-pass selection.  Exact: any global top-k element lives in a chunk
+    whose max is itself >= that element, so the top-k chunks by max cover
+    the global top-k.  Tie behavior matches lax.top_k (earliest index
+    wins): winning chunks are gathered in ASCENDING chunk order, so
+    earlier gathered column == earlier global index.
+    """
+    n, v = x.shape
+    pad = -v % chunk
+    if (v + pad) // chunk < k:  # not enough chunks to tournament over
+        return topk_small(x, k)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    c = (v + pad) // chunk
+    xc = x.reshape(n, c, chunk)
+    cmax = jnp.max(xc, axis=-1)  # [N, C]
+    _, chunk_idx = topk_small(cmax, k)  # [N, k], value-ranked
+    chunk_idx = jnp.sort(chunk_idx, axis=-1)  # ascending == global order
+    gathered = jnp.take_along_axis(xc, chunk_idx[:, :, None], axis=1)  # [N,k,chunk]
+    vals, gi = topk_small(gathered.reshape(n, k * chunk), k)
+    src_chunk = jnp.take_along_axis(chunk_idx, gi // chunk, axis=1)
+    return vals, src_chunk * chunk + gi % chunk
+
+
 def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_insert):
     """Insert one hypothesis per batch row into the fixed-capacity buffer
     (equivalent to HF's merge-topk: fill a free slot, else replace the worst)."""
@@ -187,7 +216,7 @@ def beam_search(
             )
 
         cand = logprobs.reshape(b, nb, v) + s.beam_scores[..., None]
-        top_scores, top_idx = topk_small(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
+        top_scores, top_idx = topk_chunked(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
         src_beam = top_idx // v
         token = top_idx % v
         # a candidate "hits stopping": emits eos, or its sequence reaches max len

@@ -62,33 +62,35 @@ class BertLayer(nn.Module):
         head_dim = h // n_heads
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
 
-        q = dense(h, "attn_q")(hidden)
-        k = dense(h, "attn_k")(hidden)
-        v = dense(h, "attn_v")(hidden)
+        b, l, _ = hidden.shape
+        # heads stay in the minor dims end-to-end ([B,L,heads,hd]): the
+        # split/merge head transposes of the classic layout cost ~30% of the
+        # attention block at serving shapes (measured on-chip, see
+        # scripts/profile_components.py bertmicro) and XLA contracts the
+        # "bqhd,bkhd->bhqk" form directly.
+        q = dense(h, "attn_q")(hidden).reshape(b, l, n_heads, head_dim)
+        k = dense(h, "attn_k")(hidden).reshape(b, l, n_heads, head_dim)
+        v = dense(h, "attn_v")(hidden).reshape(b, l, n_heads, head_dim)
 
-        def split(x):  # [B,L,H] -> [B,heads,L,hd]
-            b, l, _ = x.shape
-            return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
         # L is static under jit, so this is a trace-time branch: flash wins
         # only once [L, L] score materialization stops fitting/fusing well
         if cfg.use_flash_attention and hidden.shape[1] >= cfg.flash_min_seq_len:
             from mmdx_tpu.ops.pallas_attention import flash_attention
 
-            ctx = flash_attention(q, k, v, attention_bias,
+            tr = lambda x: x.transpose(0, 2, 1, 3)  # [B,heads,L,hd]
+            ctx = flash_attention(tr(q), tr(k), tr(v), attention_bias,
                                   scale=1.0 / float(head_dim) ** 0.5)
+            ctx = ctx.transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
             scores = scores + attention_bias  # [B,1,1,L] additive mask
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
             ctx = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+                "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
             )
-        b, _, l, _ = ctx.shape
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h).astype(self.dtype)
+        ctx = ctx.reshape(b, l, h).astype(self.dtype)
 
         attn_out = dense(h, "attn_out")(ctx)
         attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)

@@ -10,13 +10,20 @@ This kernel computes the whole bottleneck
 
     out = relu(conv3(relu(conv2(relu(conv1(x))))) + shortcut(x))
 
-reading x once and writing out once.  One full image per grid program: a
-56x56x256 bf16 image is 1.6MB, so the image, the widened 3x3 input, the f32
-accumulator and the output all sit in VMEM together.  The 3x3 conv runs as 9
-shifted [HW, M] x [M, M] matmuls against a zero-padded VMEM scratch (SAME
-padding), so no halo DMA is needed.  BatchNorms are folded into the conv
-weights by the caller (inference mode), matching the reference backbone's
-frozen-BN serving semantics (reference training_pipeline.py:176-197).
+reading x once and writing out once.  One full image per grid program (a
+56x56x256 bf16 image is 1.6MB — everything fits VMEM).
+
+Layout is the key design point: all activations stay FLAT [H*W, C]
+(spatial in sublanes, channels in lanes) for the whole kernel — no
+reshapes, no 3D slicing (both force Mosaic relayout copies that made a
+first, view-based version of this kernel slower than XLA).  The 3x3 conv
+runs as 9 accumulated matmuls whose inputs are SUBLANE ROLLS of the flat
+x1 buffer: tap (dy,dx) needs x1[(y+dy)*W + (x+dx)] = roll(x1, -(dy*W+dx));
+rows whose source pixel falls outside the image (the roll wraps) are zeroed
+by a per-tap destination mask computed from iota (SAME zero padding).
+BatchNorms are folded into the conv weights by the caller (inference mode),
+matching the reference backbone's frozen-BN serving semantics (reference
+training_pipeline.py:176-197).
 """
 from __future__ import annotations
 
@@ -28,8 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
                      interpret: bool = False):
     """Stride-1 bottleneck with BN pre-folded into (w, b) pairs.
@@ -48,25 +54,38 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
     has_proj = wp is not None
     if not has_proj:
         assert cin == cout, (cin, cout)
+    hw = h * w
+    x_flat = x.reshape(b, hw, cin)
+    # [9, 1, M, M] so each tap is a clean 2D slice; tap index = (dy+1)*3+(dx+1)
+    w2_flat = w2.reshape(9, 1, m, m)
 
     def kernel(*refs):
         if has_proj:
             (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-             wp_ref, bp_ref, out_ref, x1_ref) = refs
+             wp_ref, bp_ref, out_ref) = refs
         else:
             (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-             out_ref, x1_ref) = refs
-        rows = x_ref[0].reshape(h * w, cin)
+             out_ref) = refs
+        rows = x_ref[0]  # [HW, Cin]
         x1 = jnp.dot(rows, w1_ref[...], preferred_element_type=jnp.float32)
-        x1 = jnp.maximum(x1 + b1_ref[...].astype(jnp.float32), 0.0)
-        # zero-padded (SAME) 3x3 input
-        x1_ref[...] = jnp.zeros_like(x1_ref)
-        x1_ref[1:h + 1, 1:w + 1, :] = x1.reshape(h, w, m).astype(x1_ref.dtype)
-        acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (h * w, m))
-        for dy in range(3):
-            for dx in range(3):
-                tap = x1_ref[dy:dy + h, dx:dx + w, :].reshape(h * w, m)
-                acc = acc + jnp.dot(tap, w2_ref[dy, dx],
+        # stays f32: Mosaic's vector rotate needs 32-bit lanes
+        x1 = jnp.maximum(x1 + b1_ref[...].astype(jnp.float32), 0.0)  # [HW, M]
+
+        # destination coordinates (for per-tap validity masks)
+        r = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+        yy = r // w
+        xx = r - yy * w
+
+        acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                shift = dy * w + dx
+                tap = x1 if shift == 0 else pltpu.roll(x1, (-shift) % hw, axis=0)
+                valid = ((yy + dy >= 0) & (yy + dy < h)
+                         & (xx + dx >= 0) & (xx + dx < w))
+                tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
+                wtap = w2_ref[(dy + 1) * 3 + (dx + 1), 0]  # [M, M]
+                acc = acc + jnp.dot(tap, wtap,
                                     preferred_element_type=jnp.float32)
         x2 = jnp.maximum(acc, 0.0).astype(x_ref.dtype)
         y = jnp.dot(x2, w3_ref[...], preferred_element_type=jnp.float32)
@@ -76,17 +95,16 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
             sc = sc + bp_ref[...].astype(jnp.float32)
         else:
             sc = rows.astype(jnp.float32)
-        out = jnp.maximum(y + sc, 0.0)
-        out_ref[0] = out.reshape(h, w, cout).astype(out_ref.dtype)
+        out_ref[0] = jnp.maximum(y + sc, 0.0).astype(out_ref.dtype)
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     in_specs = [
-        pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, hw, cin), lambda i: (i, 0, 0)),
         full((cin, m)), full((1, m)),
-        full((3, 3, m, m)), full((1, m)),
+        full((9, 1, m, m)), full((1, m)),
         full((m, cout)), full((1, cout)),
     ]
-    args = [x, w1, b1[None], w2, b2[None], w3, b3[None]]
+    args = [x_flat, w1, b1[None], w2_flat, b2[None], w3, b3[None]]
     if has_proj:
         in_specs += [full((cin, cout)), full((1, cout))]
         args += [wp, bp[None]]
@@ -95,12 +113,11 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
         kernel,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, m), x.dtype)],
+        out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, cout), x.dtype),
         interpret=interpret,
     )(*args)
-    return out
+    return out.reshape(b, h, w, cout)
 
 
 def fold_bn(kernel, scale, bias, mean, var, eps):

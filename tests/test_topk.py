@@ -1,0 +1,36 @@
+"""topk_small / topk_chunked vs lax.top_k — values, indices, and tie order."""
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mmdx_tpu.decode.beam_search import topk_chunked, topk_small
+
+
+def _cases(seed=0, trials=20):
+    rng = np.random.default_rng(seed)
+    for trial in range(trials):
+        n, v, k = 5, int(rng.integers(40, 4000)), int(rng.choice([4, 8]))
+        x = rng.standard_normal((n, v)).astype(np.float32)
+        for _ in range(8):  # inject ties
+            i = rng.integers(n)
+            a, b = rng.integers(v, size=2)
+            x[i, a] = x[i, b]
+        x[0, : min(30, v // 2)] = -np.inf
+        yield trial, jnp.asarray(x), k, rng
+
+
+def test_topk_small_matches_lax():
+    for trial, x, k, _ in _cases(0):
+        rv, ri = lax.top_k(x, k)
+        v_, i_ = topk_small(x, k)
+        np.testing.assert_allclose(np.asarray(v_), np.asarray(rv)), trial
+        assert np.array_equal(np.asarray(i_), np.asarray(ri)), trial
+
+
+def test_topk_chunked_matches_lax():
+    for trial, x, k, rng in _cases(1):
+        chunk = int(rng.choice([32, 128, 256, 1024]))
+        rv, ri = lax.top_k(x, k)
+        v_, i_ = topk_chunked(x, k, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(v_), np.asarray(rv)), trial
+        assert np.array_equal(np.asarray(i_), np.asarray(ri)), (trial, chunk)
