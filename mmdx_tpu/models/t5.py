@@ -145,58 +145,51 @@ class T5Attention(nn.Module):
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
         return self.o(out), cache_k, cache_v
 
-    def step_beam(self, hidden_tok, cache_k, cache_v, pos, bias_row, anc):
+    def step_beam(self, hidden_tok, cache_k, cache_v, pos, mask_bias):
         """One-token beam self-attention over a PHYSICAL (never reordered)
-        cache, resolving beam histories through the ancestry index.
+        cache, resolving beam histories through a precomputed ancestry mask.
 
-        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B,heads,nb*Lmax,d_kv]
+        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B, nb*Lmax, h*d_kv]
         in POSITION-MAJOR flat layout (built by ``init_cache(...,
         beam_width=nb)``): row ``t*nb + j`` holds the K/V written at step t by
-        physical slot j.  anc: [B,nb,Lmax] int32 with anc[b,i,t] = physical
-        slot owning beam (b,i)'s history at position t (entries at t >= pos
-        are junk; position pos is always the slot's own write).
+        physical slot j.  mask_bias: [B, heads, nb, nb*Lmax] f32 = relative/
+        causal bias + ancestry mask (non-ancestor rows -inf), computed ONCE
+        per step in ``T5.decode_step_beam`` — it depends only on (anc, pos),
+        so recomputing it per layer was pure waste.
 
         Each query attends over ALL nb*Lmax physical rows with non-ancestor
-        rows masked to -inf — nb-fold extra FLOPs (free at these sizes) in
-        exchange for never rewriting the O(N*Lmax*d) cache. The flat layout
-        makes this the SAME 4D attention shape as the fast greedy path (no
-        rank-5 dots, no gathers — both lower pathologically), and the
-        position-major ordering makes the step's nb writes one contiguous
-        ``dynamic_update_slice``, keeping the while-loop carry aliased.
+        rows masked out — nb-fold extra FLOPs (free at these sizes) in
+        exchange for never rewriting the O(N*Lmax*d) cache. Layout is the
+        perf-critical choice: heads stay FUSED in the minor dim (h*d_kv =
+        512 lanes, clean (8,128) tiles) and split into [*, h, d] only as a
+        free minor-dim reshape inside the einsums — the head-major
+        [B,h,K,d] form leaves d_kv=64 in lanes, which pads every tile to
+        128 and relayouts the whole cache each step (measured 4.8x slower,
+        scripts/bench_beam_attn.py). The position-major ordering makes the
+        step's nb writes one contiguous ``dynamic_update_slice``, keeping
+        the while-loop carry aliased in place.
         """
-        b, nb, lmax = anc.shape
+        b, _, nb, kk = mask_bias.shape
         h, d = self.config.num_heads, self.config.d_kv
         n = b * nb
 
-        def heads_major(x):  # [N,1,h*d] -> [B,h,nb,d]
-            return x.reshape(b, nb, h, d).transpose(0, 2, 1, 3)
-
-        q = heads_major(self.q(hidden_tok))  # [B,h,i,d]
-        k_new = heads_major(self.k(hidden_tok))  # [B,h,j,d]
-        v_new = heads_major(self.v(hidden_tok))
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos * nb, axis=2)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos * nb, axis=2)
-
-        # effective ancestry: position `pos` is this step's own write
-        own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
-        anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
-        # row t*nb+j is live for query i iff anc_eff[b,i,t] == j; the (L, nb)
-        # compare reshapes straight onto the position-major key axis
-        live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,L,j]
-        mask = jnp.where(live.reshape(b, nb, lmax * nb), 0.0, NEG_INF)
-        # causal + relative bias for query position pos, repeated per slot
-        bias = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
+        q = self.q(hidden_tok).reshape(b, nb, h, d)
+        k_new = self.k(hidden_tok).reshape(b, nb, h * d)
+        v_new = self.v(hidden_tok).reshape(b, nb, h * d)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos * nb, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos * nb, axis=1)
+        kh = cache_k.reshape(b, kk, h, d)  # free minor-dim split
+        vh = cache_v.reshape(b, kk, h, d)
 
         scores = jnp.einsum(
-            "bhid,bhkd->bhik", q, cache_k, preferred_element_type=jnp.float32
+            "bihd,bkhd->bhik", q, kh, preferred_element_type=jnp.float32
         )
-        scores = scores + bias[None, :, None, :] + mask[:, None]
+        scores = scores + mask_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)  # [B,h,i,K]
         ctx = jnp.einsum(
-            "bhik,bhkd->bhid", probs, cache_v, preferred_element_type=jnp.float32
+            "bhik,bkhd->bihd", probs, vh, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        out = ctx.transpose(0, 2, 1, 3).reshape(n, 1, h * d)
-        return self.o(out), cache_k, cache_v
+        return self.o(ctx.reshape(n, 1, h * d)), cache_k, cache_v
 
 
 class T5FFN(nn.Module):
@@ -274,14 +267,14 @@ class T5DecoderLayer(nn.Module):
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
         return hidden_tok, {"k": k_, "v": v_}
 
-    def step_beam(self, hidden_tok, cache, static_kv, pos, self_bias_row,
-                  enc_bias, anc):
+    def step_beam(self, hidden_tok, cache, static_kv, pos, mask_bias,
+                  enc_bias):
         """One-token beam decode step over a physical (never reordered) cache —
         see ``T5Attention.step_beam``. Cross-attention needs no ancestry: all
         beams of a sample share identical encoder K/V."""
         y = self.self_ln(hidden_tok)
         attn, k_, v_ = self.self_attn.step_beam(
-            y, cache["k"], cache["v"], pos, self_bias_row, anc
+            y, cache["k"], cache["v"], pos, mask_bias
         )
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
@@ -392,16 +385,17 @@ class T5(nn.Module):
 
         ``beam_width=None``: cache leaves are [batch, heads, max_len, d_kv]
         (for ``decode_step`` — greedy, or gather-mode beam search).
-        ``beam_width=nb``: BEAM layout [batch/nb, heads, nb*max_len, d_kv],
-        position-major flat (row t*nb + j = slot j's write at step t), for
+        ``beam_width=nb``: BEAM layout [batch/nb, nb*max_len, heads*d_kv],
+        position-major flat (row t*nb + j = slot j's write at step t) with
+        heads fused in the minor dim (see ``T5Attention.step_beam``), for
         ``decode_step_beam`` (ancestry mode; never reordered)."""
         cfg = self.config
         cache = []
         static_kv = []
         if beam_width:
             assert batch % beam_width == 0, (batch, beam_width)
-            shape = (batch // beam_width, cfg.num_heads, beam_width * max_len,
-                     cfg.d_kv)
+            shape = (batch // beam_width, beam_width * max_len,
+                     cfg.num_heads * cfg.d_kv)
         else:
             shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
         for layer in self.decoder_layers:
@@ -445,13 +439,23 @@ class T5(nn.Module):
         """Beam-search decode step: like ``decode_step`` but the KV cache is
         physical (never beam-reordered) and ``anc [B, nb, Lmax]`` carries the
         beam ancestry (see ``beam_search(cache_mode="ancestry")``)."""
+        b, nb, lmax = anc.shape
         hidden = self.shared(token_ids)  # [N,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)
         enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        # ancestry mask + bias, computed ONCE for all layers (identical across
+        # them): position `pos` is this step's own write; row t*nb+j of the
+        # position-major cache is live for query i iff anc_eff[b,i,t] == j
+        own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
+        anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
+        live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,L,j]
+        mask = jnp.where(live.reshape(b, nb, lmax * nb), 0.0, NEG_INF)
+        bias = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
+        mask_bias = bias[None, :, None, :] + mask[:, None, :, :]  # [B,h,i,K]
         new_cache = []
         for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
             hidden, lc = layer.step_beam(hidden, layer_cache, layer_static, pos,
-                                         bias_row, enc_bias, anc)
+                                         mask_bias, enc_bias)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
         return self._lm_logits(hidden)[:, 0], new_cache

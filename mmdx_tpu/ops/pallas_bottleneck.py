@@ -55,6 +55,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
     if not has_proj:
         assert cin == cout, (cin, cout)
     hw = h * w
+    co_tile = min(cout, 128)
     x_flat = x.reshape(b, hw, cin)
     # [9, 1, M, M] so each tap is a clean 2D slice; tap index = (dy+1)*3+(dx+1)
     w2_flat = w2.reshape(9, 1, m, m)
@@ -76,26 +77,40 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
         yy = r // w
         xx = r - yy * w
 
-        acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                shift = dy * w + dx
-                tap = x1 if shift == 0 else pltpu.roll(x1, (-shift) % hw, axis=0)
-                valid = ((yy + dy >= 0) & (yy + dy < h)
-                         & (xx + dx >= 0) & (xx + dx < w))
-                tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
-                wtap = w2_ref[(dy + 1) * 3 + (dx + 1), 0]  # [M, M]
-                acc = acc + jnp.dot(tap, wtap,
-                                    preferred_element_type=jnp.float32)
+        # serialized tap loop: a fori_loop (not a python unroll) so only ONE
+        # roll/mask temporary is live at a time — the unrolled form let Mosaic
+        # schedule all 9 rolls concurrently, blowing the 16MB scoped-VMEM
+        # stack (20.7MB) at stage-1 shapes (hw=3136)
+        acc0 = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
+
+        def tap_body(t, acc):
+            dy = t // 3 - 1
+            dx = t % 3 - 1
+            shift = dy * w + dx
+            tap = pltpu.roll(x1, (-shift) % hw, axis=0)
+            valid = ((yy + dy >= 0) & (yy + dy < h)
+                     & (xx + dx >= 0) & (xx + dx < w))
+            tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
+            wtap = w2_ref[t, 0]  # [M, M]
+            return acc + jnp.dot(tap, wtap, preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, 9, tap_body, acc0)
         x2 = jnp.maximum(acc, 0.0).astype(x_ref.dtype)
-        y = jnp.dot(x2, w3_ref[...], preferred_element_type=jnp.float32)
-        y = y + b3_ref[...].astype(jnp.float32)
-        if has_proj:
-            sc = jnp.dot(rows, wp_ref[...], preferred_element_type=jnp.float32)
-            sc = sc + bp_ref[...].astype(jnp.float32)
-        else:
-            sc = rows.astype(jnp.float32)
-        out_ref[0] = jnp.maximum(y + sc, 0.0).astype(out_ref.dtype)
+        # conv3 + shortcut, tiled over output channels: the full-[HW, Cout]
+        # f32 buffers for y and the shortcut were the VMEM peak (20.7MB > the
+        # 16MB scoped limit at stage-1 shapes); per-128-lane tiles keep the
+        # stack under budget with zero extra HBM traffic.
+        for t0 in range(0, cout, co_tile):
+            t1 = t0 + co_tile
+            y = jnp.dot(x2, w3_ref[:, t0:t1], preferred_element_type=jnp.float32)
+            y = y + b3_ref[:, t0:t1].astype(jnp.float32)
+            if has_proj:
+                sc = jnp.dot(rows, wp_ref[:, t0:t1],
+                             preferred_element_type=jnp.float32)
+                sc = sc + bp_ref[:, t0:t1].astype(jnp.float32)
+            else:
+                sc = rows[:, t0:t1].astype(jnp.float32)
+            out_ref[0, :, t0:t1] = jnp.maximum(y + sc, 0.0).astype(out_ref.dtype)
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     in_specs = [

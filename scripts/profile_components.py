@@ -160,7 +160,7 @@ def main():
     if want("resnetfused"):
         from mmdx_tpu.models.resnet import ResNet50
 
-        for fw in (64, 128):
+        for fw in (128, 256, 512):
             mfull = ResNet50(fuse_max_width=fw, dtype=dt)
 
             def f_fused(salt, x, params, stats, m=mfull):
