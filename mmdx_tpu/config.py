@@ -115,6 +115,11 @@ class ReportDecoderConfig:
     tie_word_embeddings: bool = True
     feed_forward_proj: str = "relu"
     max_report_len: int = 256
+    # Pallas beam-decode attention (ops/pallas_beam_attn): reads the flat
+    # physical KV cache once per step with the per-head split done in VMEM —
+    # the XLA einsum relayouts the whole cache in HBM every step. Compiled-
+    # Pallas is TPU-only; the engine flips this on in fast mode.
+    use_fused_beam_attn: bool = False
 
 
 @dataclass(frozen=True)

@@ -145,46 +145,53 @@ class T5Attention(nn.Module):
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
         return self.o(out), cache_k, cache_v
 
-    def step_beam(self, hidden_tok, cache_k, cache_v, pos, mask_bias):
+    def step_beam(self, hidden_tok, cache_k, cache_v, pos, mask, bias_k):
         """One-token beam self-attention over a PHYSICAL (never reordered)
         cache, resolving beam histories through a precomputed ancestry mask.
 
         hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B, nb*Lmax, h*d_kv]
         in POSITION-MAJOR flat layout (built by ``init_cache(...,
         beam_width=nb)``): row ``t*nb + j`` holds the K/V written at step t by
-        physical slot j.  mask_bias: [B, heads, nb, nb*Lmax] f32 = relative/
-        causal bias + ancestry mask (non-ancestor rows -inf), computed ONCE
-        per step in ``T5.decode_step_beam`` — it depends only on (anc, pos),
-        so recomputing it per layer was pure waste.
+        physical slot j.  mask: [B, nb, nb*Lmax] f32 additive ancestry mask
+        (non-ancestor rows -inf) and bias_k: [heads, nb*Lmax] f32 relative/
+        causal bias, both computed ONCE per step in ``T5.decode_step_beam``
+        (they depend only on (anc, pos); recomputing per layer was waste).
 
         Each query attends over ALL nb*Lmax physical rows with non-ancestor
         rows masked out — nb-fold extra FLOPs (free at these sizes) in
-        exchange for never rewriting the O(N*Lmax*d) cache. Layout is the
-        perf-critical choice: heads stay FUSED in the minor dim (h*d_kv =
-        512 lanes, clean (8,128) tiles) and split into [*, h, d] only as a
-        free minor-dim reshape inside the einsums — the head-major
-        [B,h,K,d] form leaves d_kv=64 in lanes, which pads every tile to
-        128 and relayouts the whole cache each step (measured 4.8x slower,
-        scripts/bench_beam_attn.py). The position-major ordering makes the
-        step's nb writes one contiguous ``dynamic_update_slice``, keeping
-        the while-loop carry aliased in place.
+        exchange for never rewriting the O(N*Lmax*d) cache. The HBM-critical
+        part is HOW the per-head split happens: XLA's einsum over either
+        [B,h,K,d] or [B,K,h*d] storage relayouts the entire cache in HBM
+        every step (the beam step measured ~4x the greedy step at identical
+        cache bytes). ``use_fused_beam_attn`` routes to the Pallas kernel
+        (ops/pallas_beam_attn) that reads the flat cache once and splits
+        heads inside VMEM. The position-major ordering makes the step's nb
+        writes one contiguous ``dynamic_update_slice``, keeping the
+        while-loop carry aliased in place.
         """
-        b, _, nb, kk = mask_bias.shape
+        b, nb, kk = mask.shape
         h, d = self.config.num_heads, self.config.d_kv
         n = b * nb
 
-        q = self.q(hidden_tok).reshape(b, nb, h, d)
+        q = self.q(hidden_tok).reshape(b, nb, h * d)
         k_new = self.k(hidden_tok).reshape(b, nb, h * d)
         v_new = self.v(hidden_tok).reshape(b, nb, h * d)
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos * nb, axis=1)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos * nb, axis=1)
+
+        if self.config.use_fused_beam_attn:
+            from mmdx_tpu.ops.pallas_beam_attn import beam_decode_attention
+
+            ctx = beam_decode_attention(q, cache_k, cache_v, mask, bias_k)
+            return self.o(ctx.reshape(n, 1, h * d)), cache_k, cache_v
+
         kh = cache_k.reshape(b, kk, h, d)  # free minor-dim split
         vh = cache_v.reshape(b, kk, h, d)
-
         scores = jnp.einsum(
-            "bihd,bkhd->bhik", q, kh, preferred_element_type=jnp.float32
+            "bihd,bkhd->bhik", q.reshape(b, nb, h, d), kh,
+            preferred_element_type=jnp.float32,
         )
-        scores = scores + mask_bias
+        scores = scores + bias_k[None, :, None, :] + mask[:, None, :, :]
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)  # [B,h,i,K]
         ctx = jnp.einsum(
             "bhik,bkhd->bihd", probs, vh, preferred_element_type=jnp.float32
@@ -267,14 +274,14 @@ class T5DecoderLayer(nn.Module):
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
         return hidden_tok, {"k": k_, "v": v_}
 
-    def step_beam(self, hidden_tok, cache, static_kv, pos, mask_bias,
+    def step_beam(self, hidden_tok, cache, static_kv, pos, mask, bias_k,
                   enc_bias):
         """One-token beam decode step over a physical (never reordered) cache —
         see ``T5Attention.step_beam``. Cross-attention needs no ancestry: all
         beams of a sample share identical encoder K/V."""
         y = self.self_ln(hidden_tok)
         attn, k_, v_ = self.self_attn.step_beam(
-            y, cache["k"], cache["v"], pos, mask_bias
+            y, cache["k"], cache["v"], pos, mask, bias_k
         )
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
@@ -450,12 +457,11 @@ class T5(nn.Module):
         anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
         live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,L,j]
         mask = jnp.where(live.reshape(b, nb, lmax * nb), 0.0, NEG_INF)
-        bias = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
-        mask_bias = bias[None, :, None, :] + mask[:, None, :, :]  # [B,h,i,K]
+        bias_k = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
         new_cache = []
         for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
             hidden, lc = layer.step_beam(hidden, layer_cache, layer_static, pos,
-                                         mask_bias, enc_bias)
+                                         mask, bias_k, enc_bias)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
         return self._lm_logits(hidden)[:, 0], new_cache

@@ -62,6 +62,9 @@ class InferenceEngine:
                 image=dataclasses.replace(
                     model_config.image, use_fused_bottleneck=True,
                 ),
+                report=dataclasses.replace(
+                    model_config.report, use_fused_beam_attn=True,
+                ),
             )
         self.model_config = model_config
         self.model = MultiModalDiagnosisModel(config=model_config, dtype=self.dtype)
@@ -332,9 +335,18 @@ class InferenceEngine:
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
                          greedy: bool = False) -> list[str]:
         gen = gen or self.bundle.config.generation
+        n = int(z_img.shape[0])
+        if self.mesh is not None:
+            # dp-sharded decode: the whole beam/greedy while_loop state leads
+            # with the batch axis, so sharding the conditioning embeddings
+            # over "data" shards the entire loop (weights replicated/tp per
+            # the rules; XLA inserts no cross-batch collectives).
+            (z_img, z_txt), n = self._shard_inputs(
+                np.asarray(z_img), np.asarray(z_txt)
+            )
         batch = int(z_img.shape[0])
         run = self._generate_fn(gen, greedy)
-        seqs = np.asarray(run(self.variables, z_img, z_txt, batch))
+        seqs = np.asarray(run(self.variables, z_img, z_txt, batch))[:n]
         return self.t5_tok.batch_decode(seqs, skip_special_tokens=True)
 
     def infer(self, image, patient_details: str, gen_kwargs: dict | None = None,

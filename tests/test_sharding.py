@@ -90,3 +90,27 @@ def test_multichip_inference_engine(rng):
         pn, zi, zt = multi.classify_batch(imgs[:n], texts[:n])
         assert pn.shape == (n, 13) and zi.shape[0] == n and zt.shape[0] == n
         np.testing.assert_allclose(p1[:n], pn, rtol=1e-5, atol=1e-6)
+
+
+def test_multichip_generation(rng):
+    """Beam + greedy report generation dp-shards over the mesh and matches the
+    single-device decode token-for-token (incl. a batch not divisible by dp)."""
+    import dataclasses
+
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    bundle = new_random_bundle(seed=0, small=True)
+    gen = dataclasses.replace(
+        bundle.config.generation, max_new_tokens=10, min_new_tokens=4
+    )
+    zi = rng.standard_normal((5, bundle.config.fusion.d_img)).astype(np.float32)
+    zt = rng.standard_normal((5, bundle.config.fusion.d_txt)).astype(np.float32)
+
+    single = InferenceEngine(bundle, mode="parity")
+    mesh = make_mesh(n_model=1)
+    multi = InferenceEngine(bundle, mode="parity", mesh=mesh)
+    for greedy in (False, True):
+        r1 = single.generate_reports(zi, zt, gen=gen, greedy=greedy)
+        r8 = multi.generate_reports(zi, zt, gen=gen, greedy=greedy)
+        assert r1 == r8 and len(r8) == 5
