@@ -69,7 +69,7 @@ def topk_small(x: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
 
 
-def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 1024):
+def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 512):
     """Exact top-k over a WIDE last axis via a two-level tournament.
 
     ``topk_small`` pays k full passes over [N, V]; here V is split into
@@ -80,6 +80,9 @@ def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 1024):
     the global top-k.  Tie behavior matches lax.top_k (earliest index
     wins): winning chunks are gathered in ASCENDING chunk order, so
     earlier gathered column == earlier global index.
+
+    chunk=512 divides the nb=4 beam-candidate width (4*32128) exactly, so
+    the serving shape skips the pad (a full 33MB copy per step otherwise).
     """
     n, v = x.shape
     pad = -v % chunk
@@ -96,6 +99,25 @@ def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 1024):
     vals, gi = topk_small(gathered.reshape(n, k * chunk), k)
     src_chunk = jnp.take_along_axis(chunk_idx, gi // chunk, axis=1)
     return vals, src_chunk * chunk + gi % chunk
+
+
+def beam_gather_rows(x: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """x[b, src[b, i], :] as a one-hot batched matmul.
+
+    x: [B, nb, L] int32 (values exactly representable in f32, i.e. < 2**24 —
+    true for token ids and ancestry slots); src: [B, k] int32 -> [B, k, L].
+
+    ``jnp.take_along_axis`` with a broadcast [B, nb, L] index lowers to an
+    elementwise TPU gather that runs near-serially (~0.5 ms per call at
+    [64, 4, 181] — the single hottest op of the beam loop, see the round-2
+    device trace); the [B,k,nb] x [B,nb,L] one-hot contraction is an MXU
+    no-op by comparison.
+    """
+    nb = x.shape[1]
+    onehot = (src[..., None] == jnp.arange(nb, dtype=src.dtype)).astype(jnp.float32)
+    out = jnp.einsum("bij,bjl->bil", onehot, x.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_insert):
@@ -197,9 +219,7 @@ def beam_search(
         batch_full = s.n_fin >= nb  # evaluated before this step's inserts (HF order)
         frozen = (batch_full & es_true) | ~s.heuristic_ok  # no further output effect
 
-        last_tok = jnp.take_along_axis(
-            s.seqs, jnp.broadcast_to((cur - 1)[None, None, None], (b, nb, 1)), axis=2
-        )
+        last_tok = jax.lax.dynamic_slice_in_dim(s.seqs, cur - 1, 1, axis=2)
         if ancestry:
             logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache, s.anc)
         else:
@@ -235,9 +255,7 @@ def beam_search(
         pen = cur.astype(jnp.float32) ** length_penalty  # num generated incl. final token
         for j in range(nb):
             src_j = src_beam[:, j]
-            hyp = jnp.take_along_axis(
-                s.seqs, jnp.broadcast_to(src_j[:, None, None], (b, 1, lmax)), axis=1
-            )[:, 0]
+            hyp = beam_gather_rows(s.seqs, src_j[:, None])[:, 0]
             hyp = jax.lax.dynamic_update_slice_in_dim(
                 hyp, token[:, j : j + 1].astype(jnp.int32), cur, axis=1
             )
@@ -250,9 +268,7 @@ def beam_search(
 
         # --- advance running beams (freeze batches with no output effect) ---
         new_src_eff = jnp.where(frozen[:, None], jnp.arange(nb)[None, :], new_src)
-        gathered = jnp.take_along_axis(
-            s.seqs, jnp.broadcast_to(new_src_eff[..., None], (b, nb, lmax)), axis=1
-        )
+        gathered = beam_gather_rows(s.seqs, new_src_eff)
         step_tok = jnp.where(frozen[:, None], fill_value, new_tokens)
         seqs2 = jax.lax.dynamic_update_slice_in_dim(
             gathered, step_tok[..., None].astype(jnp.int32), cur, axis=2
@@ -263,9 +279,7 @@ def beam_search(
             # reorder only the tiny ancestry index; the KV cache stays put.
             # position cur-1's K/V was written this step by physical slot
             # new_src (the slot whose token was consumed).
-            anc_g = jnp.take_along_axis(
-                s.anc, jnp.broadcast_to(new_src_eff[..., None], (b, nb, lmax)), axis=1
-            )
+            anc_g = beam_gather_rows(s.anc, new_src_eff)
             anc2 = jax.lax.dynamic_update_slice_in_dim(
                 anc_g, new_src_eff[..., None].astype(jnp.int32), cur - 1, axis=2
             )

@@ -48,9 +48,18 @@ def ban_repeated_ngrams(
     in_range = (jnp.arange(w) + k) < cur_len  # [W]
     match = jnp.all(windows == suffix[:, None, :], axis=-1) & in_range[None]  # [N, W]
 
-    # scatter: banned[v] = any(match where follower == v)
-    def per_row(m, f):
-        return jnp.zeros((v,), jnp.bool_).at[f].max(m, mode="drop")
-
-    banned = jax.vmap(per_row)(match, followers)  # [N, V] bool
+    # dense banned mask WITHOUT a vocab scatter: XLA lowers the batched
+    # .at[f].max scatter to sort + a serial mask build (~0.6 ms/step at
+    # serving shapes, per the round-2 device trace). Decompose token ids as
+    # v = hi*256 + lo; then banned[n, hi, lo] = sum_w match * [f_hi = hi] *
+    # [f_lo = lo] is ONE [N,W,Hi] x [N,W,256] batched matmul on the MXU.
+    hi_size = -(-v // 256)
+    f_hi = followers // 256
+    f_lo = followers % 256
+    m16 = match.astype(jnp.bfloat16)
+    a = (f_hi[..., None] == jnp.arange(hi_size)).astype(jnp.bfloat16) * m16[..., None]
+    b = (f_lo[..., None] == jnp.arange(256)).astype(jnp.bfloat16)
+    banned = jnp.einsum("nwh,nwl->nhl", a, b,
+                        preferred_element_type=jnp.float32)  # [N, Hi, 256]
+    banned = banned.reshape(n, hi_size * 256)[:, :v] > 0.5
     return jnp.where(banned, NEG_INF, logprobs)

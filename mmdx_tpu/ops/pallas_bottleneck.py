@@ -77,24 +77,21 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
         yy = r // w
         xx = r - yy * w
 
-        # serialized tap loop: a fori_loop (not a python unroll) so only ONE
-        # roll/mask temporary is live at a time — the unrolled form let Mosaic
-        # schedule all 9 rolls concurrently, blowing the 16MB scoped-VMEM
-        # stack (20.7MB) at stage-1 shapes (hw=3136)
-        acc0 = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
-
-        def tap_body(t, acc):
-            dy = t // 3 - 1
-            dx = t % 3 - 1
-            shift = dy * w + dx
-            tap = pltpu.roll(x1, (-shift) % hw, axis=0)
-            valid = ((yy + dy >= 0) & (yy + dy < h)
-                     & (xx + dx >= 0) & (xx + dx < w))
-            tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
-            wtap = w2_ref[t, 0]  # [M, M]
-            return acc + jnp.dot(tap, wtap, preferred_element_type=jnp.float32)
-
-        acc = jax.lax.fori_loop(0, 9, tap_body, acc0)
+        # static unrolled taps (Mosaic's dynamic_rotate rejects traced shifts,
+        # so a fori_loop over taps is not an option); the concurrent liveness
+        # of the 9 roll temporaries is what the raised vmem_limit_bytes pays
+        # for below
+        acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                shift = dy * w + dx
+                tap = x1 if shift == 0 else pltpu.roll(x1, (-shift) % hw, axis=0)
+                valid = ((yy + dy >= 0) & (yy + dy < h)
+                         & (xx + dx >= 0) & (xx + dx < w))
+                tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
+                wtap = w2_ref[(dy + 1) * 3 + (dx + 1), 0]  # [M, M]
+                acc = acc + jnp.dot(tap, wtap,
+                                    preferred_element_type=jnp.float32)
         x2 = jnp.maximum(acc, 0.0).astype(x_ref.dtype)
         # conv3 + shortcut, tiled over output channels: the full-[HW, Cout]
         # f32 buffers for y and the shortcut were the VMEM peak (20.7MB > the
@@ -130,6 +127,10 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, cout), x.dtype),
+        # stage-1 shapes need ~18MB of stack (in/out double-buffers + the f32
+        # accumulator chain); the 16MB default scoped-vmem cap is a fraction
+        # of the chip's 128MB VMEM — raise it rather than shrink the tiles
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out.reshape(b, h, w, cout)

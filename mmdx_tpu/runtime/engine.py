@@ -59,9 +59,12 @@ class InferenceEngine:
                     model_config.text, use_fused_ffn=True,
                     use_flash_attention=True,
                 ),
-                image=dataclasses.replace(
-                    model_config.image, use_fused_bottleneck=True,
-                ),
+                # NOT use_fused_bottleneck: the Pallas fused bottleneck
+                # compiles (raised scoped-vmem) but measures ~17% SLOWER than
+                # XLA's convs at B=512 (46.8 vs 39.9 ms full tower) — the 9
+                # serialized sublane-roll taps are VPU-bound while XLA's
+                # implicit-GEMM convs pipeline on the MXU. Kernel + parity
+                # tests kept as a documented negative result.
                 report=dataclasses.replace(
                     model_config.report, use_fused_beam_attn=True,
                 ),

@@ -106,6 +106,30 @@ def main():
     t = timed(loop_beam, variables, prep_b)
     print(f"[ablate] raw decode_step_beam (ancestry) N={n}: {t*1e3:.2f} ms/step", flush=True)
 
+    # 2b. ancestry-beam step with the Pallas fused attention kernel
+    import dataclasses
+
+    cfg_fused = dataclasses.replace(
+        cfg, report=dataclasses.replace(cfg.report, use_fused_beam_attn=True))
+    model_fused = MultiModalDiagnosisModel(config=cfg_fused, dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_beam_fused(variables, prep_b, salt, iters: int):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = model_fused.apply(
+                variables, tok, i % (lmax - 1), cache, anc0, prep_b["static_kv"],
+                prep_b["self_bias"], prep_b["enc_mask"],
+                method=MultiModalDiagnosisModel.decode_step_beam)
+            return jnp.argmax(logits, -1, keepdims=True).astype(jnp.int32), cache
+        tok0 = jnp.full((n, 1), salt % 1000, jnp.int32)
+        tok, _ = lax.fori_loop(0, iters, body, (tok0, prep_b["cache"]))
+        return jnp.sum(tok).astype(jnp.float32)
+
+    t = timed(loop_beam_fused, variables, prep_b)
+    print(f"[ablate] raw decode_step_beam (fused attn kernel) N={n}: "
+          f"{t*1e3:.2f} ms/step", flush=True)
+
     # 3./4. machinery with dummy step (one [d,v] matmul so logits are real-ish)
     w_dummy = jnp.asarray(rng.standard_normal((64, v)) * 0.1, jnp.bfloat16)
 
