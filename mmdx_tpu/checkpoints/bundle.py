@@ -45,12 +45,29 @@ class ModelBundle:
     t5_scores: dict[int, float] | None = None  # unigram-LM piece log-probs
 
     def tokenizers(self):
+        return self._bert_tokenizer(), self._t5_tokenizer()
+
+    def _t5_tokenizer(self):
+        """The C++ unigram-Viterbi core when buildable and the vocab is
+        scored (output-identical — tests/test_native_unigram.py); pure
+        Python otherwise."""
         from mmdx_tpu.text.t5_tokenizer import T5StyleTokenizer
 
-        return (
-            self._bert_tokenizer(),
-            T5StyleTokenizer(vocab=self.t5_vocab, scores=self.t5_scores),
-        )
+        if self.t5_scores:
+            try:
+                from mmdx_tpu.text.native_unigram import NativeT5Tokenizer
+
+                lines = [
+                    f"{t}\t{self.t5_scores.get(i, 0.0)}"
+                    for t, i in sorted(self.t5_vocab.items(), key=lambda kv: kv[1])
+                ]
+                path = _staged_vocab_file("t5", lines)
+                tok = NativeT5Tokenizer(path)
+                if tok.native_available:
+                    return tok
+            except Exception:
+                pass
+        return T5StyleTokenizer(vocab=self.t5_vocab, scores=self.t5_scores)
 
     def _bert_tokenizer(self):
         """The C++ WordPiece core when buildable (output-identical to the
@@ -60,19 +77,9 @@ class ModelBundle:
         from mmdx_tpu.text.wordpiece import WordPieceTokenizer
 
         try:
-            import hashlib
-            import os
-            import tempfile
-
             from mmdx_tpu.text.native_wordpiece import NativeWordPieceTokenizer
 
-            blob = ("\n".join(_vocab_list(self.bert_vocab)) + "\n").encode("utf-8")
-            digest = hashlib.sha256(blob).hexdigest()[:16]
-            path = Path(tempfile.gettempdir()) / f"mmdx_bert_vocab_{digest}.txt"
-            if not path.exists():
-                tmp = path.with_suffix(f".{os.getpid()}.tmp")
-                tmp.write_bytes(blob)
-                tmp.replace(path)
+            path = _staged_vocab_file("bert", _vocab_list(self.bert_vocab))
             tok = NativeWordPieceTokenizer(path)
             if tok.native_available:
                 return tok
@@ -83,6 +90,23 @@ class ModelBundle:
 
 def _vocab_list(vocab: dict[str, int]) -> list[str]:
     return [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+
+
+def _staged_vocab_file(kind: str, lines: list[str]) -> Path:
+    """Stage an in-memory vocab to a content-addressed temp file (the native
+    tokenizer cores load from a path); atomic, idempotent across processes."""
+    import hashlib
+    import os
+    import tempfile
+
+    blob = ("\n".join(lines) + "\n").encode("utf-8")
+    digest = hashlib.sha256(blob).hexdigest()[:16]
+    path = Path(tempfile.gettempdir()) / f"mmdx_{kind}_vocab_{digest}.txt"
+    if not path.exists():
+        tmp = path.with_suffix(f".{os.getpid()}.tmp")
+        tmp.write_bytes(blob)
+        tmp.replace(path)
+    return path
 
 
 def save_bundle(bundle: ModelBundle, path: str | Path, timestamped_copy: bool = True) -> Path:

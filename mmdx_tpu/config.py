@@ -87,6 +87,12 @@ class TextEncoderConfig:
     use_flash_attention: bool = False
     flash_min_seq_len: int = 256
     use_fused_ffn: bool = False  # Pallas fused FFN+residual+LN (ops/pallas_ffn)
+    # Pallas fused attention BLOCK (ops/pallas_bert_attn) for the short
+    # bucketed serving lengths, where XLA's [B,h,L,L] tensors tile badly;
+    # beyond this length the scores stop fitting the packed-[R,R] scheme and
+    # the einsum/flash paths take over.
+    use_fused_attn_block: bool = False
+    fused_attn_max_seq_len: int = 128
 
 
 @dataclass(frozen=True)

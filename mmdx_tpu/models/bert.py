@@ -63,6 +63,33 @@ class BertLayer(nn.Module):
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
 
         b, l, _ = hidden.shape
+        if (cfg.use_fused_attn_block and deterministic
+                and l <= cfg.fused_attn_max_seq_len):
+            # whole attention block (QKV -> blockdiag-packed scores ->
+            # softmax -> ctx -> out-proj -> residual -> LN) as ONE Pallas
+            # kernel: at the bucketed serving lengths the XLA path's
+            # [B,heads,L,L] tensors put L in the lane dim (4x tile padding
+            # at L=32) and round-trip HBM repeatedly — 16.5 ms of the 78 ms
+            # classify budget at B=512 (round-2 device trace).
+            from mmdx_tpu.ops.pallas_bert_attn import fused_attention_block
+
+            wq, bq = _LinearParams(h, h, name="attn_q")()
+            wk, bk = _LinearParams(h, h, name="attn_k")()
+            wv, bv = _LinearParams(h, h, name="attn_v")()
+            wo_a, bo_a = _LinearParams(h, h, name="attn_out")()
+            lns_a, lnb_a = _LayerNormParams(h, name="attn_ln")()
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            # attention_bias is the [B,1,1,L] additive key mask
+            kmask = attention_bias.reshape(b * l).astype(jnp.float32)
+            hidden = fused_attention_block(
+                hidden.reshape(b * l, h), kmask, wqkv, bqkv,
+                wo_a.astype(self.dtype), bo_a.astype(self.dtype),
+                lns_a.astype(self.dtype), lnb_a.astype(self.dtype),
+                seq_len=l, num_heads=n_heads, eps=cfg.layer_norm_eps,
+            ).reshape(b, l, h)
+            return self._ffn(hidden, deterministic)
+
         # heads stay in the minor dims end-to-end ([B,L,heads,hd]): the
         # split/merge head transposes of the classic layout cost ~30% of the
         # attention block at serving shapes (measured on-chip, see
@@ -97,6 +124,12 @@ class BertLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_ln")(
             hidden + attn_out
         )
+        return self._ffn(hidden, deterministic)
+
+    def _ffn(self, hidden, deterministic):
+        cfg = self.config
+        h = cfg.hidden_size
+        dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
 
         if cfg.use_fused_ffn and deterministic:
             from mmdx_tpu.ops.pallas_ffn import fused_ffn_ln

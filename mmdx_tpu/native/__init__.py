@@ -6,7 +6,7 @@ import subprocess
 from pathlib import Path
 
 _DIR = Path(__file__).resolve().parent
-_LIB_PATH = _DIR / "libmmdx_wordpiece.so"
+_LIB_PATH = _DIR / "libmmdx_native.so"
 _lib = None
 
 
@@ -43,5 +43,15 @@ def load():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.wp_encode.restype = ctypes.c_int
+    lib.ug_create.restype = ctypes.c_void_p
+    lib.ug_create.argtypes = [ctypes.c_char_p]
+    lib.ug_destroy.argtypes = [ctypes.c_void_p]
+    lib.ug_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.ug_vocab_size.restype = ctypes.c_int
+    lib.ug_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.ug_encode.restype = ctypes.c_int
     _lib = lib
     return _lib

@@ -58,6 +58,7 @@ class InferenceEngine:
                 text=dataclasses.replace(
                     model_config.text, use_fused_ffn=True,
                     use_flash_attention=True,
+                    use_fused_attn_block=True,
                 ),
                 # NOT use_fused_bottleneck: the Pallas fused bottleneck
                 # compiles (raised scoped-vmem) but measures ~17% SLOWER than
