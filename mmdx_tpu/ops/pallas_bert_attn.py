@@ -55,7 +55,7 @@ def _kernel(x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     mask = mask + kmask_ref[...].astype(jnp.float32)  # [1, R] broadcast
 
     scale = 1.0 / float(head_dim) ** 0.5
-    ctx = jnp.zeros((r, hidden), jnp.float32)
+    ctx_heads = []
     for h in range(num_heads):
         q = qkv[:, h * head_dim:(h + 1) * head_dim]
         k = qkv[:, hidden + h * head_dim:hidden + (h + 1) * head_dim]
@@ -66,13 +66,12 @@ def _kernel(x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        c = jax.lax.dot_general(
+        ctx_heads.append(jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [R, d]
-        ctx = jax.lax.dynamic_update_slice(ctx, c, (0, h * head_dim))
+        ).astype(x.dtype))  # [R, d]
+    ctx = jnp.concatenate(ctx_heads, axis=1)  # [R, H]
 
-    out = jnp.dot(ctx.astype(x.dtype), wo_ref[...],
-                  preferred_element_type=jnp.float32)
+    out = jnp.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
     y = x.astype(jnp.float32) + out + bo_ref[...].astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
@@ -88,11 +87,15 @@ def fused_attention_block(x, kmask, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
     (0 valid / -1e9 pad); wqkv: [H, 3H] (q|k|v column blocks, head-major
     within each); returns LayerNorm(x + attention(x) Wo + bo) as [B*L, H].
     """
+    import math
+
     m, hidden = x.shape
     head_dim = hidden // num_heads
     assert m % seq_len == 0, (m, seq_len)
-    g = max(1, 512 // seq_len)
-    r = g * seq_len
+    # R must be a multiple of seq_len (whole images per block) AND of 128
+    # (the kmask block's lane dim); ~384-512 rows balances MXU shape vs VMEM
+    base = math.lcm(seq_len, 128)
+    r = base * max(1, 384 // base)
     pad = -m % r
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
