@@ -45,9 +45,11 @@ def main():
     bundle = new_random_bundle(seed=0)  # full-size ResNet-50 + BERT-base stack
     cfg = bundle.config
     model_cfg = dataclasses.replace(
-        cfg, text=dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(
             cfg.text, use_fused_ffn=True, use_fused_attn_block=True
-        )
+        ),
+        image=dataclasses.replace(cfg.image, use_folded_bn=True),
     )
     model = MultiModalDiagnosisModel(config=model_cfg, dtype=jnp.bfloat16)
 

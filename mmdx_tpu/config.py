@@ -56,6 +56,13 @@ class ImageEncoderConfig:
     # engine flips this on in fast mode; training always uses the XLA path.
     use_fused_bottleneck: bool = False
     fused_bottleneck_max_width: int = 128
+    # Inference-only BN folding: batchnorm scale/shift folded into the conv
+    # weights (f32 fold, cast to compute dtype), removing every BN op from
+    # the serving graph. Honest measurement (bench.py + device trace): ~1%
+    # end-to-end — XLA already fuses inference BN into the conv epilogues —
+    # kept because the BN-free graph is simpler and drops the batch_stats
+    # dependence from the serving path.
+    use_folded_bn: bool = False
 
 
 @dataclass(frozen=True)

@@ -67,10 +67,13 @@ class Bottleneck(nn.Module):
     bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
     bn_eps: float = 1e-5
     use_fused: bool = False  # Pallas fused path (inference, stride 1 only)
+    use_folded: bool = False  # BN-folded XLA convs (inference)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.use_folded and not train:
+            return self._folded(x)
         if self.use_fused and not train and self.stride == 1:
             return self._fused(x)
 
@@ -100,6 +103,50 @@ class Bottleneck(nn.Module):
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.width * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = bn("bn3")(y)
+        return nn.relu(y + shortcut)
+
+    def _folded(self, x):
+        """Inference path with the BatchNorms folded into the conv weights
+        (f32 fold, conv in self.dtype): the serving graph becomes pure
+        conv+bias+relu with no batch_stats dependence. End-to-end effect is
+        ~1% (XLA already fuses inference BN into conv epilogues — see
+        config.use_folded_bn); kept for the simpler graph. Param tree is
+        identical to the training path (same names, shapes, collections)."""
+        from mmdx_tpu.ops.pallas_bottleneck import fold_bn
+
+        cin = x.shape[-1]
+        m, cout = self.width, self.width * 4
+        s = (self.stride, self.stride)
+
+        def conv(inp, w, b, strides, padding="SAME"):
+            dn = jax.lax.conv_dimension_numbers(
+                inp.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                inp, w.astype(self.dtype), strides, padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            return (y + b.astype(jnp.float32)).astype(self.dtype)
+
+        k1 = _ConvKernel((1, 1, cin, m), name="conv1")()
+        w1, b1 = fold_bn(k1, *_BNParams(m, name="bn1")(), self.bn_eps)
+        k2 = _ConvKernel((3, 3, m, m), name="conv2")()
+        w2, b2 = fold_bn(k2, *_BNParams(m, name="bn2")(), self.bn_eps)
+        k3 = _ConvKernel((1, 1, m, cout), name="conv3")()
+        w3, b3 = fold_bn(k3, *_BNParams(cout, name="bn3")(), self.bn_eps)
+
+        y = nn.relu(conv(x, w1, b1, (1, 1)))
+        y = nn.relu(conv(y, w2, b2, s, padding=[(1, 1), (1, 1)]))
+        y = conv(y, w3, b3, (1, 1))
+        if self.use_projection:
+            kp = _ConvKernel((1, 1, cin, cout), name="downsample_conv")()
+            wp, bp = fold_bn(
+                kp, *_BNParams(cout, name="downsample_bn")(), self.bn_eps
+            )
+            shortcut = conv(x, wp, bp, s)
+        else:
+            shortcut = x
         return nn.relu(y + shortcut)
 
     def _fused(self, x):
@@ -137,19 +184,34 @@ class ResNet50(nn.Module):
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
     fuse_max_width: int = 0  # fuse stride-1 bottlenecks up to this width
+    folded_bn: bool = False  # inference-only BN-folded convs (all blocks)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv_stem",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum,
-            epsilon=self.bn_eps, dtype=self.dtype, name="bn_stem",
-        )(x)
-        x = nn.relu(x)
+        if self.folded_bn and not train:
+            from mmdx_tpu.ops.pallas_bottleneck import fold_bn
+
+            ks = _ConvKernel((7, 7, x.shape[-1], 64), name="conv_stem")()
+            ws, bs = fold_bn(ks, *_BNParams(64, name="bn_stem")(), self.bn_eps)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, ws.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.lax.conv_general_dilated(
+                x, ws.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
+            x = nn.relu((x + bs.astype(jnp.float32)).astype(self.dtype))
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv_stem",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum,
+                epsilon=self.bn_eps, dtype=self.dtype, name="bn_stem",
+            )(x)
+            x = nn.relu(x)
         # torch MaxPool2d(kernel=3, stride=2, padding=1): pad with -inf then max
         x = jnp.pad(
             x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
@@ -167,6 +229,7 @@ class ResNet50(nn.Module):
                     bn_momentum=self.bn_momentum,
                     bn_eps=self.bn_eps,
                     use_fused=0 < width <= self.fuse_max_width,
+                    use_folded=self.folded_bn,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train=train)
@@ -193,6 +256,7 @@ class ImageEncoder(nn.Module):
                 self.config.fused_bottleneck_max_width
                 if self.config.use_fused_bottleneck else 0
             ),
+            folded_bn=self.config.use_folded_bn,
             dtype=self.dtype,
             name="backbone",
         )

@@ -60,6 +60,9 @@ class InferenceEngine:
                     use_flash_attention=True,
                     use_fused_attn_block=True,
                 ),
+                image=dataclasses.replace(
+                    model_config.image, use_folded_bn=True,
+                ),
                 # NOT use_fused_bottleneck: the Pallas fused bottleneck
                 # compiles (raised scoped-vmem) but measures ~17% SLOWER than
                 # XLA's convs at B=512 (46.8 vs 39.9 ms full tower) — the 9

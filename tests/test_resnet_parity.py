@@ -34,6 +34,23 @@ def test_eval_forward_parity(pair, rng):
     )
 
 
+def test_folded_bn_matches_torch(pair, rng):
+    """The BN-folded inference path (config.use_folded_bn) keeps torch parity
+    with the SAME variables (param tree unchanged)."""
+    import dataclasses
+
+    oracle, _, variables = pair
+    cfg = dataclasses.replace(ImageEncoderConfig(), use_folded_bn=True)
+    folded = ImageEncoder(config=cfg)
+    x = rng.standard_normal((2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out = folded.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["embeddings"]), ref["embeddings"].numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_param_count(pair):
     _, _, variables = pair
     import jax
