@@ -144,7 +144,7 @@ def _insert_hyp(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do_in
         "step_fn", "batch", "num_beams", "vocab_size", "max_new_tokens",
         "min_new_tokens", "no_repeat_ngram_size", "length_penalty",
         "early_stopping", "eos_token_id", "pad_token_id",
-        "decoder_start_token_id", "cache_mode",
+        "decoder_start_token_id", "cache_mode", "segment_caps",
     ),
 )
 def beam_search(
@@ -163,6 +163,7 @@ def beam_search(
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
     cache_mode: str = "gather",
+    segment_caps: tuple[int, ...] | None = None,
 ):
     """Run beam search; returns (sequences [B, 1+max_new_tokens], scores [B]).
 
@@ -301,7 +302,34 @@ def beam_search(
         return BeamState(cur + 1, seqs2, beam_scores2, cache2, anc2,
                          fin_seqs, fin_scores, fin_lens, n_fin, heuristic_ok)
 
-    s = jax.lax.while_loop(cond, body, state)
+    # segmented decode: run the loop in stages with GROWING cache buffers
+    # (ancestry layout [B, nb*cap, h*d]); early steps attend over a fraction
+    # of the full-Lmax cache, cutting the dominant per-step HBM read ~2x on
+    # average. Output-invariant: the causal bias row masks every
+    # not-yet-written key, so a larger buffer never changes the math
+    # (asserted vs the unsegmented run in tests/test_decode_parity.py).
+    caps = tuple(c for c in (segment_caps or ()) if 0 < c < lmax)
+    if caps and not ancestry:
+        caps = ()  # segmenting is implemented for the ancestry layout only
+    caps = caps + (lmax,)
+    if len(caps) > 1:
+        state = state._replace(cache=jax.tree.map(
+            lambda x: x[:, : nb * caps[0]], state.cache))
+
+    s = state
+    for idx, cap in enumerate(caps):
+        if cap < lmax:
+            limit = jnp.asarray(cap + 1, jnp.int32)  # step at cur writes pos cur-1
+
+            def cond_cap(st, _limit=limit):
+                return cond(st) & (st.cur_len < _limit)
+        else:
+            cond_cap = cond
+        s = jax.lax.while_loop(cond_cap, body, s)
+        if cap < lmax:
+            grow = nb * (caps[idx + 1] - cap)
+            s = s._replace(cache=jax.tree.map(
+                lambda x, g=grow: jnp.pad(x, ((0, 0), (0, g), (0, 0))), s.cache))
 
     best = jnp.argmax(s.fin_scores, axis=1)  # [B]
     best_seq = jnp.take_along_axis(

@@ -24,7 +24,7 @@ class GreedyState(NamedTuple):
     static_argnames=(
         "step_fn", "batch", "vocab_size", "max_new_tokens", "min_new_tokens",
         "no_repeat_ngram_size", "eos_token_id", "pad_token_id",
-        "decoder_start_token_id",
+        "decoder_start_token_id", "segment_caps",
     ),
 )
 def greedy_decode(
@@ -39,6 +39,7 @@ def greedy_decode(
     eos_token_id: int = 1,
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
+    segment_caps: tuple[int, ...] | None = None,
 ):
     """Returns sequences [B, 1+max_new_tokens] (start + tokens, pad-filled)."""
     b, v = batch, vocab_size
@@ -68,5 +69,27 @@ def greedy_decode(
         finished = s.finished | (tok == eos_token_id)
         return GreedyState(cur + 1, seqs2, cache, finished)
 
-    s = jax.lax.while_loop(cond, body, state)
+    # segmented decode with growing KV buffers ([N, heads, cap, d_kv], grown
+    # along axis 2) — see beam_search for the rationale; output-invariant
+    # because the causal bias row masks not-yet-written keys.
+    caps = tuple(c for c in (segment_caps or ()) if 0 < c < lmax) + (lmax,)
+    if len(caps) > 1:
+        state = state._replace(cache=jax.tree.map(
+            lambda x: x[:, :, : caps[0], :], state.cache))
+
+    s = state
+    for idx, cap in enumerate(caps):
+        if cap < lmax:
+            limit = jnp.asarray(cap + 1, jnp.int32)
+
+            def cond_cap(st, _limit=limit):
+                return cond(st) & (st.cur_len < _limit)
+        else:
+            cond_cap = cond
+        s = jax.lax.while_loop(cond_cap, body, s)
+        if cap < lmax:
+            grow = caps[idx + 1] - cap
+            s = s._replace(cache=jax.tree.map(
+                lambda x, g=grow: jnp.pad(x, ((0, 0), (0, 0), (0, g), (0, 0))),
+                s.cache))
     return s.seqs

@@ -429,9 +429,15 @@ class T5(nn.Module):
 
     def decode_step(self, token_ids, pos, cache, static_kv, self_bias_full,
                     encoder_mask):
-        """token_ids [B,1] at position ``pos`` -> (logits [B,vocab], new cache)."""
+        """token_ids [B,1] at position ``pos`` -> (logits [B,vocab], new cache).
+
+        Cache buffers may be shorter than the bias's Lmax (segmented decode);
+        the key capacity is inferred and the causal bias row masks every
+        not-yet-written key."""
+        cap = cache[0]["k"].shape[2]
         hidden = self.shared(token_ids)  # [B,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)  # [1,h,1,Lmax]
+        bias_row = bias_row[..., :cap]
         enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
         new_cache = []
         for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
@@ -445,19 +451,28 @@ class T5(nn.Module):
                          self_bias_full, encoder_mask):
         """Beam-search decode step: like ``decode_step`` but the KV cache is
         physical (never beam-reordered) and ``anc [B, nb, Lmax]`` carries the
-        beam ancestry (see ``beam_search(cache_mode="ancestry")``)."""
+        beam ancestry (see ``beam_search(cache_mode="ancestry")``).
+
+        The cache buffers may be SHORTER than Lmax (segmented decode: the
+        caller grows them as generation proceeds, halving average HBM traffic
+        per step); the key capacity is inferred from the cache leaves, the
+        ancestry/bias slices follow, and the causal bias row masks every
+        not-yet-written key, so segmenting is output-invariant."""
         b, nb, lmax = anc.shape
+        cap = cache[0]["k"].shape[1] // nb  # key positions in this segment
         hidden = self.shared(token_ids)  # [N,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)
+        bias_row = bias_row[..., :cap]
         enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
         # ancestry mask + bias, computed ONCE for all layers (identical across
         # them): position `pos` is this step's own write; row t*nb+j of the
         # position-major cache is live for query i iff anc_eff[b,i,t] == j
+        anc_c = anc[:, :, :cap]
         own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
-        anc_eff = jnp.where(jnp.arange(lmax)[None, None, :] == pos, own, anc)
-        live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,L,j]
-        mask = jnp.where(live.reshape(b, nb, lmax * nb), 0.0, NEG_INF)
-        bias_k = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, L*nb]
+        anc_eff = jnp.where(jnp.arange(cap)[None, None, :] == pos, own, anc_c)
+        live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,C,j]
+        mask = jnp.where(live.reshape(b, nb, cap * nb), 0.0, NEG_INF)
+        bias_k = jnp.repeat(bias_row[0, :, 0, :], nb, axis=-1)  # [h, C*nb]
         new_cache = []
         for layer, layer_cache, layer_static in zip(self.decoder_layers, cache, static_kv):
             hidden, lc = layer.step_beam(hidden, layer_cache, layer_static, pos,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG_INF = -1e9
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def beam_decode_attention(q, k, v, mask, bias, interpret: bool = False):
@@ -44,31 +46,48 @@ def beam_decode_attention(q, k, v, mask, bias, interpret: bool = False):
     assert h * d == hd, (h, d, hd)
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref):
-        for g in range(q_ref.shape[0]):
-            m = mask_ref[g]  # [nb, K] f32
-            for hi in range(h):
-                qh = q_ref[g, :, hi * d:(hi + 1) * d]  # [nb, d]
-                kh = k_ref[g, :, hi * d:(hi + 1) * d]  # [K, d]
-                vh = v_ref[g, :, hi * d:(hi + 1) * d]
-                s = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [nb, K]
-                s = s + bias_ref[hi:hi + 1, :] + m
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
-                ctx = jax.lax.dot_general(
-                    p, vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [nb, d]
-                out_ref[g, :, hi * d:(hi + 1) * d] = ctx.astype(out_ref.dtype)
+        gb = q_ref.shape[0]
+        rq, rk = gb * nb, gb * kk
+        q_all = q_ref[...].reshape(rq, hd)
+        k_all = k_ref[...].reshape(rk, hd)
+        v_all = v_ref[...].reshape(rk, hd)
+        # block-diagonal sample mask + per-sample ancestry mask, tiled so
+        # diagonal blocks line up (off-diagonal contributions are -inf and
+        # vanish in the softmax — exact per-sample attention)
+        if gb > 1:
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // nb
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // kk
+            bd = jnp.where(row_g == col_g, 0.0, NEG_INF)
+            m = bd + jnp.tile(mask_ref[...].reshape(rq, kk), (1, gb))
+        else:
+            m = mask_ref[...].reshape(rq, kk)
+        for hi in range(h):
+            qh = q_all[:, hi * d:(hi + 1) * d]  # [rq, d]
+            kh = k_all[:, hi * d:(hi + 1) * d]  # [rk, d]
+            vh = v_all[:, hi * d:(hi + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rq, rk]
+            s = s + jnp.tile(bias_ref[hi:hi + 1, :], (1, rk // kk)) + m
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+            ctx = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rq, d]
+            out_ref[:, :, hi * d:(hi + 1) * d] = (
+                ctx.astype(out_ref.dtype).reshape(gb, nb, d)
+            )
 
-    # gb = samples per grid program. Measured: gb=1 wins (150 vs 142
-    # reports/s e2e at gb=4) — the in-kernel sample loop serializes compute
-    # behind larger DMA chunks, while the 1-sample pipeline already streams;
-    # the ~58%-of-HBM-bw kernel time is softmax/VPU-bound, not grid overhead.
-    gb = 1
+    # gb = samples per grid program, packed along BOTH score axes (same
+    # trick as ops/pallas_bert_attn): nb=4-row dots per sample left the
+    # kernel latency-bound (~58% of HBM bw, and per-program time barely
+    # scaled with K under segmented decode); packing gives [gb*nb, gb*K]
+    # MXU-shaped tiles. FLOP waste is gb-fold on an op that is ~1% FLOPs.
+    gb = next(g for g in (8, 4, 2, 1)
+              if b % g == 0 and g * kk * hd * 2 * 2 <= 12 * 2**20)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(
         kernel,

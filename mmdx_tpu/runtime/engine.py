@@ -205,12 +205,18 @@ class InferenceEngine:
 
     def _generate_fn(self, gen: GenerationConfig, greedy: bool):
         kw = make_generation_kwargs(gen)
-        key = ("generate", tuple(sorted(kw.items())), greedy)
+        lmax = 1 + gen.max_new_tokens
+        # segmented decode: grow the KV buffers in stages so early steps read
+        # a fraction of the full cache (output-invariant; perf knob only)
+        raw = __import__("os").environ.get("MMDX_DECODE_SEGMENTS", "64,128")
+        seg_caps = tuple(
+            int(x) for x in raw.split(",") if x.strip() and 0 < int(x) < lmax
+        ) if raw else ()
+        key = ("generate", tuple(sorted(kw.items())), greedy, seg_caps)
         if key not in self._generate_cache:
             model = self.model
             rep = self.bundle.config.report
             fusion_method = MultiModalDiagnosisModel.prepare_generation
-            lmax = 1 + gen.max_new_tokens
 
             @functools.partial(jax.jit, static_argnames=("batch",))
             def run(variables, z_img, z_txt, batch: int):
@@ -241,6 +247,7 @@ class InferenceEngine:
                         no_repeat_ngram_size=gen.no_repeat_ngram_size,
                         eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
                         decoder_start_token_id=gen.decoder_start_token_id,
+                        segment_caps=seg_caps,
                     )
 
                 # ancestry mode: the KV cache is never beam-reordered (the
@@ -255,7 +262,7 @@ class InferenceEngine:
 
                 seqs, _ = beam_search(
                     beam_step_fn, cache, batch=batch, vocab_size=rep.vocab_size,
-                    cache_mode="ancestry", **kw,
+                    cache_mode="ancestry", segment_caps=seg_caps, **kw,
                 )
                 return seqs
 

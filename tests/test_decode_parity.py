@@ -119,6 +119,48 @@ def test_beam_search_token_parity(pair, rng, gen_kw, cache_mode):
     _compare(ours, hf_out)
 
 
+def test_segmented_decode_is_output_invariant(pair, rng):
+    """Segmented cache growth (segment_caps) must not change a single token,
+    beam or greedy — the causal bias masks not-yet-written keys."""
+    import jax.numpy as jnp
+
+    oracle, model, variables, cfg = pair
+    B, K, nb = 3, 4, 4
+    gen_kw = dict(num_beams=nb, max_new_tokens=16, min_new_tokens=4,
+                  no_repeat_ngram_size=3, length_penalty=1.1, early_stopping=True)
+    cond = rng.standard_normal((B, K, cfg.d_model)).astype(np.float32) * 2.0
+    lmax = 1 + gen_kw["max_new_tokens"]
+    cond_j = jnp.asarray(beam_expand(cond, nb))
+    cache, static_kv = model.apply(variables, B * nb, lmax, cond_j, nb,
+                                   method=T5.init_cache)
+    self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+    enc_mask = np.ones((B * nb, K), np.int32)
+    step_fn = _our_step_fn(model, variables, static_kv, self_bias, enc_mask,
+                           "ancestry")
+    base, base_scores = beam_search(
+        step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
+        cache_mode="ancestry", **gen_kw)
+    seg, seg_scores = beam_search(
+        step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
+        cache_mode="ancestry", segment_caps=(5, 11), **gen_kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(seg))
+    np.testing.assert_allclose(np.asarray(base_scores), np.asarray(seg_scores))
+
+    # greedy
+    cache_g, static_g = model.apply(variables, B, lmax, jnp.asarray(cond),
+                                    method=T5.init_cache)
+    step_g = _our_step_fn(model, variables, static_g, self_bias,
+                          np.ones((B, K), np.int32))
+    g_base = greedy_decode(
+        step_g, cache_g, batch=B, vocab_size=cfg.vocab_size, max_new_tokens=16,
+        min_new_tokens=4, no_repeat_ngram_size=3, eos_token_id=1, pad_token_id=0)
+    g_seg = greedy_decode(
+        step_g, cache_g, batch=B, vocab_size=cfg.vocab_size, max_new_tokens=16,
+        min_new_tokens=4, no_repeat_ngram_size=3, eos_token_id=1, pad_token_id=0,
+        segment_caps=(5, 11))
+    np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_seg))
+
+
 def test_greedy_token_parity(pair, rng):
     import jax.numpy as jnp
 
