@@ -17,13 +17,16 @@ Layout is the key design point: all activations stay FLAT [H*W, C]
 (spatial in sublanes, channels in lanes) for the whole kernel — no
 reshapes, no 3D slicing (both force Mosaic relayout copies that made a
 first, view-based version of this kernel slower than XLA).  The 3x3 conv
-runs as 9 accumulated matmuls whose inputs are SUBLANE ROLLS of the flat
-x1 buffer: tap (dy,dx) needs x1[(y+dy)*W + (x+dx)] = roll(x1, -(dy*W+dx));
-rows whose source pixel falls outside the image (the roll wraps) are zeroed
-by a per-tap destination mask computed from iota (SAME zero padding).
-BatchNorms are folded into the conv weights by the caller (inference mode),
-matching the reference backbone's frozen-BN serving semantics (reference
-training_pipeline.py:176-197).
+runs as 9 accumulated matmuls whose inputs are STATIC SUBLANE-OFFSET
+SLICES of the flat x1 buffer written into a zero-padded VMEM scratch: tap
+(dy,dx) needs x1[(y+dy)*W + (x+dx)] = xpad[P + dy*W+dx : ...+HW] with
+P = W+1 (a v2 of this kernel used pltpu.roll for the taps — lane-crossing
+rotates made it VPU-bound and ~17% SLOWER than XLA; static slices are
+plain shifted vector loads).  Rows whose source pixel crosses an image
+edge are zeroed by a per-tap destination mask computed from iota (SAME
+zero padding).  BatchNorms are folded into the conv weights by the caller
+(inference mode), matching the reference backbone's frozen-BN serving
+semantics (reference training_pipeline.py:176-197).
 """
 from __future__ import annotations
 
@@ -60,35 +63,36 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
     # [9, 1, M, M] so each tap is a clean 2D slice; tap index = (dy+1)*3+(dx+1)
     w2_flat = w2.reshape(9, 1, m, m)
 
+    pad = w + 1  # covers the max |dy*W+dx| tap offset
+
     def kernel(*refs):
         if has_proj:
             (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-             wp_ref, bp_ref, out_ref) = refs
+             wp_ref, bp_ref, out_ref, xp_ref) = refs
         else:
             (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-             out_ref) = refs
+             out_ref, xp_ref) = refs
         rows = x_ref[0]  # [HW, Cin]
         x1 = jnp.dot(rows, w1_ref[...], preferred_element_type=jnp.float32)
-        # stays f32: Mosaic's vector rotate needs 32-bit lanes
         x1 = jnp.maximum(x1 + b1_ref[...].astype(jnp.float32), 0.0)  # [HW, M]
+        # zero-padded flat scratch: taps become STATIC sublane-offset slices
+        xp_ref[:pad, :] = jnp.zeros((pad, m), xp_ref.dtype)
+        xp_ref[pad:pad + hw, :] = x1.astype(xp_ref.dtype)
+        xp_ref[pad + hw:, :] = jnp.zeros((pad, m), xp_ref.dtype)
 
         # destination coordinates (for per-tap validity masks)
         r = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
         yy = r // w
         xx = r - yy * w
 
-        # static unrolled taps (Mosaic's dynamic_rotate rejects traced shifts,
-        # so a fori_loop over taps is not an option); the concurrent liveness
-        # of the 9 roll temporaries is what the raised vmem_limit_bytes pays
-        # for below
         acc = jnp.broadcast_to(b2_ref[...].astype(jnp.float32), (hw, m))
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 shift = dy * w + dx
-                tap = x1 if shift == 0 else pltpu.roll(x1, (-shift) % hw, axis=0)
+                tap = xp_ref[pad + shift:pad + shift + hw, :]
                 valid = ((yy + dy >= 0) & (yy + dy < h)
                          & (xx + dx >= 0) & (xx + dx < w))
-                tap = jnp.where(valid, tap, 0.0).astype(x_ref.dtype)
+                tap = jnp.where(valid, tap, 0.0)
                 wtap = w2_ref[(dy + 1) * 3 + (dx + 1), 0]  # [M, M]
                 acc = acc + jnp.dot(tap, wtap,
                                     preferred_element_type=jnp.float32)
@@ -127,6 +131,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wp=None, bp=None,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((hw + 2 * pad, m), x.dtype)],
         # stage-1 shapes need ~18MB of stack (in/out double-buffers + the f32
         # accumulator chain); the 16MB default scoped-vmem cap is a fraction
         # of the chip's 128MB VMEM — raise it rather than shrink the tiles

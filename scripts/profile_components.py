@@ -80,26 +80,31 @@ def main():
     x224 = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dt)
 
     # ---- generic on-device timing loop ----
+    # every call gets a FRESH salt argument: repeated dispatches with
+    # identical args can replay from the tunnel's cache and report
+    # impossible times (below the HBM roofline) — see NOTES.md
+    _salt = iter(range(1, 1_000_000))
+
     def timed(fn, *args, reps=3, lo=2, hi=12):
         """fn(salt, *args) -> array; returns best per-iter seconds."""
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def loop(args, iters: int):
+        def loop(args, salt0, iters: int):
             def body(_, carry):
                 acc, salt = carry
                 y = fn(salt, *args)
                 s = jnp.sum(y.astype(jnp.float32))
                 return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
 
-            acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.int32(1)))
+            acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
             return acc
 
-        float(loop(args, lo))  # compile
-        float(loop(args, hi))
+        float(loop(args, jnp.int32(next(_salt)), lo))  # compile
+        float(loop(args, jnp.int32(next(_salt)), hi))
         best = None
         for _ in range(reps):
-            t0 = time.perf_counter(); float(loop(args, lo)); d_lo = time.perf_counter() - t0
-            t0 = time.perf_counter(); float(loop(args, hi)); d_hi = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(loop(args, jnp.int32(next(_salt)), lo)); d_lo = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(loop(args, jnp.int32(next(_salt)), hi)); d_hi = time.perf_counter() - t0
             per = (d_hi - d_lo) / (hi - lo)
             best = per if best is None else min(best, per)
         return best

@@ -144,7 +144,11 @@ def test_segmented_decode_is_output_invariant(pair, rng):
         step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
         cache_mode="ancestry", segment_caps=(5, 11), **gen_kw)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(seg))
-    np.testing.assert_allclose(np.asarray(base_scores), np.asarray(seg_scores))
+    # token-exact; scores may drift ~1 ULP (the masked not-yet-written keys
+    # contribute exp(-inf-ish)=0 terms whose count changes the f32 softmax
+    # accumulation order between segment shapes)
+    np.testing.assert_allclose(np.asarray(base_scores), np.asarray(seg_scores),
+                               rtol=1e-5, atol=1e-6)
 
     # greedy
     cache_g, static_g = model.apply(variables, B, lmax, jnp.asarray(cond),
