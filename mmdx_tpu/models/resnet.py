@@ -119,15 +119,17 @@ class Bottleneck(nn.Module):
         s = (self.stride, self.stride)
 
         def conv(inp, w, b, strides, padding="SAME"):
+            # output stays in self.dtype (MXU accumulates f32 internally):
+            # preferred_element_type=f32 here materialized f32 activations —
+            # DOUBLE the HBM bytes of the tower's dominant cost
             dn = jax.lax.conv_dimension_numbers(
                 inp.shape, w.shape, ("NHWC", "HWIO", "NHWC")
             )
             y = jax.lax.conv_general_dilated(
                 inp, w.astype(self.dtype), strides, padding,
                 dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
             )
-            return (y + b.astype(jnp.float32)).astype(self.dtype)
+            return y + b.astype(self.dtype)
 
         k1 = _ConvKernel((1, 1, cin, m), name="conv1")()
         w1, b1 = fold_bn(k1, *_BNParams(m, name="bn1")(), self.bn_eps)
@@ -199,9 +201,9 @@ class ResNet50(nn.Module):
             )
             x = jax.lax.conv_general_dilated(
                 x, ws.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=dn, preferred_element_type=jnp.float32,
+                dimension_numbers=dn,
             )
-            x = nn.relu((x + bs.astype(jnp.float32)).astype(self.dtype))
+            x = nn.relu(x + bs.astype(self.dtype))
         else:
             x = nn.Conv(
                 64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
