@@ -165,6 +165,32 @@ def test_segmented_decode_is_output_invariant(pair, rng):
     np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_seg))
 
 
+def test_engine_decode_segments_env(rng, monkeypatch):
+    """MMDX_DECODE_SEGMENTS changes only speed, never tokens, and distinct
+    settings get distinct compiled programs (cache keyed by caps)."""
+    import jax.numpy as jnp
+
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    bundle = new_random_bundle(seed=0, small=True)
+    import dataclasses
+
+    gen = dataclasses.replace(bundle.config.generation,
+                              max_new_tokens=12, min_new_tokens=4)
+    zi = jnp.asarray(rng.standard_normal((2, bundle.config.fusion.d_img)),
+                     jnp.float32)
+    zt = jnp.asarray(rng.standard_normal((2, bundle.config.fusion.d_txt)),
+                     jnp.float32)
+    engine = InferenceEngine(bundle, mode="parity")
+    monkeypatch.setenv("MMDX_DECODE_SEGMENTS", "")
+    base = engine.generate_reports(zi, zt, gen=gen)
+    monkeypatch.setenv("MMDX_DECODE_SEGMENTS", "5,9")
+    seg = engine.generate_reports(zi, zt, gen=gen)
+    assert base == seg
+    assert len(engine._generate_cache) == 2  # distinct programs per caps
+
+
 def test_greedy_token_parity(pair, rng):
     import jax.numpy as jnp
 
