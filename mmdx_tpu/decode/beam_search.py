@@ -104,19 +104,25 @@ def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 512):
 def beam_gather_rows(x: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     """x[b, src[b, i], :] as a one-hot batched matmul.
 
-    x: [B, nb, L] int32 (values exactly representable in f32, i.e. < 2**24 —
-    true for token ids and ancestry slots); src: [B, k] int32 -> [B, k, L].
+    x: [B, nb, L] int32; src: [B, k] int32 -> [B, k, L].
 
     ``jnp.take_along_axis`` with a broadcast [B, nb, L] index lowers to an
     elementwise TPU gather that runs near-serially (~0.5 ms per call at
     [64, 4, 181] — the single hottest op of the beam loop, see the round-2
     device trace); the [B,k,nb] x [B,nb,L] one-hot contraction is an MXU
     no-op by comparison.
+
+    Precision=HIGHEST is load-bearing: TPU's DEFAULT matmul precision
+    computes f32 dots in bf16, which rounds integer values >= 257
+    (257->256, 32127->32128 — out of vocab). With HIGHEST, every integer
+    < 2**24 survives the f32 contraction exactly (token ids and ancestry
+    slots are far below that).
     """
     nb = x.shape[1]
     onehot = (src[..., None] == jnp.arange(nb, dtype=src.dtype)).astype(jnp.float32)
     out = jnp.einsum("bij,bjl->bil", onehot, x.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(x.dtype)
 
 
@@ -308,7 +314,7 @@ def beam_search(
     # average. Output-invariant: the causal bias row masks every
     # not-yet-written key, so a larger buffer never changes the math
     # (asserted vs the unsegmented run in tests/test_decode_parity.py).
-    caps = tuple(c for c in (segment_caps or ()) if 0 < c < lmax)
+    caps = tuple(sorted({c for c in (segment_caps or ()) if 0 < c < lmax}))
     if caps and not ancestry:
         caps = ()  # segmenting is implemented for the ancestry layout only
     caps = caps + (lmax,)

@@ -72,7 +72,7 @@ def greedy_decode(
     # segmented decode with growing KV buffers ([N, heads, cap, d_kv], grown
     # along axis 2) — see beam_search for the rationale; output-invariant
     # because the causal bias row masks not-yet-written keys.
-    caps = tuple(c for c in (segment_caps or ()) if 0 < c < lmax) + (lmax,)
+    caps = tuple(sorted({c for c in (segment_caps or ()) if 0 < c < lmax})) + (lmax,)
     if len(caps) > 1:
         state = state._replace(cache=jax.tree.map(
             lambda x: x[:, :, : caps[0], :], state.cache))

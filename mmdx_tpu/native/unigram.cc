@@ -87,8 +87,10 @@ void* ug_create(const char* vocab_path) {
       u->pieces.emplace(piece, id);
       size_t cp = count_codepoints(piece);
       if (cp > u->max_piece_cp) u->max_piece_cp = cp;
-      if (score < min_score) min_score = score;
     }
+    // unk_score mins over EVERY scored line (control symbols included),
+    // matching the Python path's unk_score = min(scores.values()) - penalty.
+    if (score < min_score) min_score = score;
     u->scores.push_back(score);
     ++id;
   }

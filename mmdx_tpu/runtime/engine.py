@@ -31,6 +31,27 @@ from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
 from mmdx_tpu.ops.preprocess import preprocess_batch_device, preprocess_exact
 
 
+def bucket_ladder(max_len: int) -> tuple[int, ...]:
+    """Sequence-length buckets below ``max_len`` for fast-mode tokenization.
+
+    Computed from the model config (not hardcoded) so a max_len change keeps
+    proportional bucketing: 1/3, 1/2, 2/3 of max_len rounded up to a lane
+    multiple of 8. max_len=96 (the reference's fixed pad length,
+    training_pipeline.py:323) yields (32, 48, 64). Override with
+    MMDX_TEXT_BUCKETS=comma-separated lengths.
+    """
+    import os
+
+    raw = os.environ.get("MMDX_TEXT_BUCKETS", "")
+    if raw:
+        return tuple(sorted({
+            int(x) for x in raw.split(",") if x.strip() and 0 < int(x) < max_len
+        }))
+    steps = {min(max_len, max(8, -(-int(max_len * f) // 8) * 8))
+             for f in (1 / 3, 1 / 2, 2 / 3)}
+    return tuple(s for s in sorted(steps) if s < max_len)
+
+
 class InferenceEngine:
     def __init__(self, bundle: ModelBundle, mode: str = "parity",
                  canonical_size: int = 512, mesh=None):
@@ -166,8 +187,8 @@ class InferenceEngine:
         if self.mode == "fast":
             enc = self.bert_tok.encode_batch(texts, max_len=max_len)
             longest = int(enc["attention_mask"].sum(axis=1).max(initial=1))
-            for bucket in (32, 48, 64):
-                if bucket >= longest and bucket < max_len:
+            for bucket in bucket_ladder(max_len):
+                if bucket >= longest:
                     return {k: v[:, :bucket] for k, v in enc.items()}
             return enc
         return self.bert_tok.encode_batch(texts, max_len=max_len)
@@ -213,17 +234,21 @@ class InferenceEngine:
         raw = __import__("os").environ.get(
             "MMDX_DECODE_SEGMENTS", "32,64,96,128,160"
         )
-        seg_caps = tuple(
+        seg_caps = tuple(sorted({
             int(x) for x in raw.split(",") if x.strip() and 0 < int(x) < lmax
-        ) if raw else ()
+        })) if raw else ()
         key = ("generate", tuple(sorted(kw.items())), greedy, seg_caps)
         if key not in self._generate_cache:
             model = self.model
             rep = self.bundle.config.report
             fusion_method = MultiModalDiagnosisModel.prepare_generation
+            # parity mode forces true-fp32 dots in the decode program too
+            # (TPU default computes f32 matmuls in bf16 — the one-hot
+            # gather/ngram einsums are id-exact either way via their explicit
+            # Precision.HIGHEST, but the model math should match _classify_fn)
+            precision = "highest" if self.mode == "parity" else "default"
 
-            @functools.partial(jax.jit, static_argnames=("batch",))
-            def run(variables, z_img, z_txt, batch: int):
+            def _run(variables, z_img, z_txt, batch: int):
                 nb = 1 if greedy else gen.num_beams
                 zi = beam_expand(z_img, nb) if nb > 1 else z_img
                 zt = beam_expand(z_txt, nb) if nb > 1 else z_txt
@@ -269,6 +294,11 @@ class InferenceEngine:
                     cache_mode="ancestry", segment_caps=seg_caps, **kw,
                 )
                 return seqs
+
+            @functools.partial(jax.jit, static_argnames=("batch",))
+            def run(variables, z_img, z_txt, batch: int):
+                with jax.default_matmul_precision(precision):
+                    return _run(variables, z_img, z_txt, batch)
 
             self._generate_cache[key] = run
         return self._generate_cache[key]

@@ -34,3 +34,23 @@ def test_topk_chunked_matches_lax():
         v_, i_ = topk_chunked(x, k, chunk=chunk)
         np.testing.assert_allclose(np.asarray(v_), np.asarray(rv)), trial
         assert np.array_equal(np.asarray(i_), np.asarray(ri)), (trial, chunk)
+
+
+def test_beam_gather_rows_exact_for_large_ids():
+    """Token ids >= 257 must survive the one-hot f32 contraction exactly.
+
+    TPU's DEFAULT matmul precision computes f32 dots in bf16, which rounds
+    257->256 and 32127->32128 (out of vocab); beam_gather_rows carries
+    Precision.HIGHEST to keep every int < 2**24 exact. Runs on any backend;
+    the regression it guards was TPU-only (advisor repro, round 2).
+    """
+    from mmdx_tpu.decode.beam_search import beam_gather_rows
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 32128, size=(3, 4, 181)).astype(np.int32)
+    # plant the known-bad values
+    ids[0, 0, :4] = [257, 12345, 32127, 2**23 - 1]
+    src = rng.integers(0, 4, size=(3, 4)).astype(np.int32)
+    out = np.asarray(beam_gather_rows(jnp.asarray(ids), jnp.asarray(src)))
+    ref = np.take_along_axis(ids, src[:, :, None], axis=1)
+    assert np.array_equal(out, ref)
