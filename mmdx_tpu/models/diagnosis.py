@@ -59,6 +59,27 @@ class MultiModalDiagnosisModel(nn.Module):
             "z_fuse": out["z_fuse"],
         }
 
+    def classify_from_image_feats(self, feats, input_ids, attention_mask,
+                                  token_type_ids=None):
+        """Classification with precomputed pooled backbone features [B, 2048].
+
+        The int8 "turbo" tower (models/resnet_int8) computes the ResNet
+        backbone outside the flax graph; this picks up from the projection
+        head so the rest of the program (text tower + fusion + disease head)
+        is identical to ``classify``.
+        """
+        z_img = self.image_encoder.heads(feats)["embeddings"]
+        z_txt = self.encode_text(input_ids, attention_mask, token_type_ids)
+        out = self.fusion(z_img, z_txt)
+        probs = jax.nn.sigmoid(out["disease_logits"].astype(jnp.float32))
+        return {
+            "disease_logits": out["disease_logits"],
+            "probs": probs,
+            "z_img": z_img,
+            "z_txt": z_txt,
+            "z_fuse": out["z_fuse"],
+        }
+
     def prepare_generation(self, z_img, z_txt, max_len: int,
                            beam_width: int | None = None):
         """Fusion + conditioning + fresh KV cache for the decode loop."""

@@ -1,0 +1,250 @@
+"""Int8 "turbo" ResNet-50 image tower — static post-training quantization.
+
+The bf16 tower is HBM-roofline-bound (round-2 device traces: conv fusions at
+500-825 GB/s, ~25.6 GB of activation traffic per B=512 batch), so int8 is a
+double win on TPU: activations/weights halve the bytes AND the MXU runs int8
+at 2x the bf16 rate (measured on this chip: 384 TF/s vs 163 at stage-1 shapes,
+scripts/bench_int8_conv.py). This module replaces the torchvision backbone the
+reference serves through torch (reference backend/ml/pipelines/
+training_pipeline.py:157-311, inference_pipeline.py:151-206) on the serving
+path only — training stays bf16/f32.
+
+Scheme (standard static PTQ, symmetric):
+  * BatchNorms folded into conv weights first (f32, ops/pallas_bottleneck.
+    fold_bn) — the quantized graph is conv+requant only.
+  * Weights: per-output-channel int8, scale = amax/127 over (kh,kw,cin).
+  * Activations: per-tensor int8 with STATIC scales calibrated offline from a
+    representative batch (``calibrate_backbone``). Dynamic quantization would
+    re-read the f32 tensor to find its range — adding back the HBM bytes the
+    whole exercise removes.
+  * Every inter-conv tensor is materialized as int8; dequant -> relu ->
+    requant is a fused f32 epilogue on the int32 conv output (XLA fuses it
+    into the convolution, nothing f32 touches HBM).
+  * Residual adds run in the f32 epilogue of conv3 (shortcut dequantized
+    elementwise from the block-input int8), then requantize.
+  * The final pooled [B, 2048] features return in f32; the projection head
+    and everything downstream stay in the engine's normal dtype.
+
+Accuracy contract: ``tests/test_resnet_int8.py`` bounds the probability delta
+vs the bf16/f32 tower on the packaged sample assets (the guardrail), and the
+engine only uses this path in the opt-in ``mode="turbo"``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+from mmdx_tpu.models.resnet import RESNET50_STAGES
+from mmdx_tpu.ops.pallas_bottleneck import fold_bn
+
+# Calibration site names, in execution order:
+#   "input"            stem conv input (preprocessed, ImageNet-normalized)
+#   "stem"             post stem-relu + maxpool (= layer1_block0 input)
+#   "<block>.a1"       post bn1+relu (conv2 input)
+#   "<block>.a2"       post bn2+relu (conv3 input)
+#   "<block>.out"      post residual relu (next block's input)
+
+
+def _block_names():
+    for stage, n_blocks in enumerate(RESNET50_STAGES):
+        for block in range(n_blocks):
+            yield f"layer{stage + 1}_block{block}", stage, block
+
+
+def calibration_sites() -> list[str]:
+    sites = ["input", "stem"]
+    for name, _, _ in _block_names():
+        sites += [f"{name}.a1", f"{name}.a2", f"{name}.out"]
+    return sites
+
+
+def _folded(params, stats, conv: str, bn: str, eps: float):
+    w, b = fold_bn(
+        params[conv]["kernel"], params[bn]["scale"], params[bn]["bias"],
+        stats[bn]["mean"], stats[bn]["var"], eps,
+    )
+    return w.astype(jnp.float32), b
+
+
+def folded_backbone(backbone_params, backbone_stats, eps: float = 1e-5):
+    """BN-folded f32 conv stack of the ResNet-50 backbone, keyed by block."""
+    tree = {"stem": _folded(backbone_params, backbone_stats,
+                            "conv_stem", "bn_stem", eps)}
+    for name, _, block in _block_names():
+        p, s = backbone_params[name], backbone_stats[name]
+        d = {
+            "conv1": _folded(p, s, "conv1", "bn1", eps),
+            "conv2": _folded(p, s, "conv2", "bn2", eps),
+            "conv3": _folded(p, s, "conv3", "bn3", eps),
+        }
+        if block == 0:
+            d["down"] = _folded(p, s, "downsample_conv", "downsample_bn", eps)
+        tree[name] = d
+    return tree
+
+
+def _conv(x, w, b, stride: int, padding):
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w, (stride, stride), padding, dimension_numbers=dn
+    )
+    return y + b
+
+
+def _maxpool_nonneg(x):
+    """torch MaxPool2d(3, stride=2, padding=1) for tensors known >= 0
+    (post-relu): zero padding is equivalent to -inf padding."""
+    import flax.linen as nn
+
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+def folded_forward(folded, x, collect: bool = False):
+    """f32 reference forward over the folded stack.
+
+    Returns (pooled [B, 2048] f32, sites) — sites maps every calibration site
+    to amax(|tensor|) f32 scalars when ``collect``, else is empty. This is
+    both the calibration pass and the numerics oracle for the int8 tests.
+    """
+    sites = {}
+
+    def tap(name, v):
+        if collect:
+            sites[name] = jnp.max(jnp.abs(v)).astype(jnp.float32)
+        return v
+
+    x = x.astype(jnp.float32)
+    tap("input", x)
+    x = jax.nn.relu(_conv(x, *folded["stem"], 2, [(3, 3), (3, 3)]))
+    x = _maxpool_nonneg(x)
+    tap("stem", x)
+    for name, stage, block in _block_names():
+        d = folded[name]
+        stride = 2 if (stage > 0 and block == 0) else 1
+        a1 = jax.nn.relu(_conv(x, *d["conv1"], 1, "SAME"))
+        tap(f"{name}.a1", a1)
+        a2 = jax.nn.relu(_conv(a1, *d["conv2"], stride, [(1, 1), (1, 1)]))
+        tap(f"{name}.a2", a2)
+        y = _conv(a2, *d["conv3"], 1, "SAME")
+        short = _conv(x, *d["down"], stride, "SAME") if "down" in d else x
+        x = jax.nn.relu(y + short)
+        tap(f"{name}.out", x)
+    return jnp.mean(x, axis=(1, 2)), sites
+
+
+def calibrate_backbone(variables, images) -> dict[str, float]:
+    """Run the folded f32 tower over a representative PREPROCESSED batch
+    (NHWC, ImageNet-normalized — i.e. the exact serving input) and return
+    {site: amax} as plain floats, suitable for persisting in a bundle.
+
+    variables: the full model variables dict ({'params', 'batch_stats'}).
+    """
+    bp = variables["params"]["image_encoder"]["backbone"]
+    bs = variables["batch_stats"]["image_encoder"]["backbone"]
+
+    @jax.jit
+    def run(bp, bs, x):
+        folded = folded_backbone(bp, bs)
+        _, sites = folded_forward(folded, x, collect=True)
+        return sites
+
+    sites = run(bp, bs, jnp.asarray(images))
+    return {k: float(v) for k, v in sites.items()}
+
+
+def quantize_backbone(variables, act_scales: dict[str, float],
+                      eps: float = 1e-5):
+    """Build the int8 qparams pytree from model variables + calibrated amax.
+
+    Per conv: {"w": int8 [kh,kw,ci,co], "ws": f32 [co] weight scales,
+    "b": f32 [co] folded bias}. Plus {"scales": {site: f32 scalar}} with
+    scale = amax/127 (what one int8 step is worth).
+
+    The result is a plain pytree of arrays — pass it as a jit ARGUMENT (the
+    remote compiler rejects giant HLO constants; NOTES.md environment rules).
+    """
+    bp = variables["params"]["image_encoder"]["backbone"]
+    bs = variables["batch_stats"]["image_encoder"]["backbone"]
+
+    def qconv(w, b):
+        ws = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        wi = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+        return {"w": wi, "ws": ws, "b": b}
+
+    folded = folded_backbone(bp, bs, eps)
+    q = {}
+    for name, tree in folded.items():
+        if name == "stem":
+            q["stem"] = qconv(*tree)
+        else:
+            q[name] = {k: qconv(*v) for k, v in tree.items()}
+    missing = [s for s in calibration_sites() if s not in act_scales]
+    if missing:
+        raise ValueError(f"act_scales missing calibration sites: {missing[:4]}")
+    q["scales"] = {
+        k: jnp.float32(max(float(v), 1e-12) / 127.0)
+        for k, v in act_scales.items()
+    }
+    return q
+
+
+def _qconv(x_i8, qc, stride: int, padding):
+    dn = lax.conv_dimension_numbers(
+        x_i8.shape, qc["w"].shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return lax.conv_general_dilated(
+        x_i8, qc["w"], (stride, stride), padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _requant(y_f32, s):
+    """f32 -> int8 at activation scale s (symmetric, saturating)."""
+    return jnp.clip(jnp.round(y_f32 / s), -127, 127).astype(jnp.int8)
+
+
+def int8_backbone_apply(q, x) -> jnp.ndarray:
+    """Preprocessed NHWC images (f32/bf16) -> pooled [B, 2048] f32 features.
+
+    Every conv runs int8 x int8 -> int32 on the MXU; the epilogue
+    (dequant * (sx*ws), +b, relu, requant) is a fused f32 elementwise chain,
+    so only int8 tensors are materialized between convs.
+    """
+    sc = q["scales"]
+    s_in = sc["input"]
+    xi = _requant(x.astype(jnp.float32), s_in)
+
+    stem = q["stem"]
+    y = _qconv(xi, stem, 2, [(3, 3), (3, 3)]).astype(jnp.float32)
+    y = jax.nn.relu(y * (s_in * stem["ws"]) + stem["b"])
+    xi = _requant(y, sc["stem"])
+    xi = _maxpool_nonneg(xi)  # int8 max; values >= 0 post-relu-requant
+    sx = sc["stem"]
+
+    for name, stage, block in _block_names():
+        d = q[name]
+        stride = 2 if (stage > 0 and block == 0) else 1
+        s1, s2, so = sc[f"{name}.a1"], sc[f"{name}.a2"], sc[f"{name}.out"]
+
+        a = _qconv(xi, d["conv1"], 1, "SAME").astype(jnp.float32)
+        a = jax.nn.relu(a * (sx * d["conv1"]["ws"]) + d["conv1"]["b"])
+        ai = _requant(a, s1)
+
+        a = _qconv(ai, d["conv2"], stride, [(1, 1), (1, 1)]).astype(jnp.float32)
+        a = jax.nn.relu(a * (s1 * d["conv2"]["ws"]) + d["conv2"]["b"])
+        ai = _requant(a, s2)
+
+        main = _qconv(ai, d["conv3"], 1, "SAME").astype(jnp.float32)
+        main = main * (s2 * d["conv3"]["ws"]) + d["conv3"]["b"]
+        if "down" in d:
+            short = _qconv(xi, d["down"], stride, "SAME").astype(jnp.float32)
+            short = short * (sx * d["down"]["ws"]) + d["down"]["b"]
+        else:
+            short = xi.astype(jnp.float32) * sx
+        y = jax.nn.relu(main + short)
+        xi = _requant(y, so)
+        sx = so
+
+    return jnp.mean(xi.astype(jnp.float32), axis=(1, 2)) * sx

@@ -6,9 +6,11 @@ This is the TPU-native replacement for the reference's per-request torch
 
   * every device program is built once per (batch, image-shape) and cached —
     first request compiles, the rest replay;
-  * two precision modes: ``parity`` (fp32 end-to-end + host-exact PIL
-    preprocessing — bit-compatible with the reference) and ``fast`` (bfloat16
-    towers, on-device fused preprocessing — the throughput mode);
+  * three precision modes: ``parity`` (fp32 end-to-end + host-exact PIL
+    preprocessing — bit-compatible with the reference), ``fast`` (bfloat16
+    towers, on-device fused preprocessing — the throughput mode), and
+    ``turbo`` (fast + the int8 static-PTQ image backbone,
+    models/resnet_int8 — opt-in, quantization-level output deltas);
   * classification and generation are separate programs, so the fused
     classifier's latency never pays for the autoregressive decode;
   * generation runs the jit beam-search loop over the KV-cached decoder.
@@ -58,14 +60,20 @@ class InferenceEngine:
         """mesh: optional jax.sharding.Mesh for multi-chip serving — weights
         replicate (with tp shards per parallel/sharding rules), batches shard
         over the "data" axis. None = single device."""
-        assert mode in ("parity", "fast")
+        assert mode in ("parity", "fast", "turbo")
         self.bundle = bundle
         self.mode = mode
         self.canonical_size = canonical_size
         self.mesh = mesh
         self.dtype = jnp.float32 if mode == "parity" else jnp.bfloat16
+        # turbo = fast + the int8 image backbone (models/resnet_int8): static
+        # PTQ, ~2x the HBM-bound tower. Opt-in because outputs differ from
+        # bf16 at the quantization-noise level (guardrail:
+        # tests/test_resnet_int8.py); scales come from
+        # bundle.metadata["int8_scales"] or first-batch calibration.
+        self._qparams = None
         model_config = bundle.config
-        if mode == "fast" and jax.default_backend() == "tpu":
+        if mode in ("fast", "turbo") and jax.default_backend() == "tpu":
             # Pallas fused FFN+LN in the text tower (~10% tower speedup; bf16-
             # rounding-level output differences only), plus flash attention for
             # sequences >= flash_min_seq_len (the bucketed 32-96 serving
@@ -184,7 +192,7 @@ class InferenceEngine:
         with the padded length the reference always fixes at 96.
         """
         max_len = self.bundle.config.text.max_len
-        if self.mode == "fast":
+        if self.mode in ("fast", "turbo"):
             enc = self.bert_tok.encode_batch(texts, max_len=max_len)
             longest = int(enc["attention_mask"].sum(axis=1).max(initial=1))
             for bucket in bucket_ladder(max_len):
@@ -201,12 +209,13 @@ class InferenceEngine:
         if key not in self._classify_cache:
             model = self.model
             cfg = self.bundle.config.image
-            on_device_preproc = self.mode == "fast" and len(image_shape) == 4
+            on_device_preproc = self.mode in ("fast", "turbo") and len(image_shape) == 4
 
             precision = "highest" if self.mode == "parity" else "default"
+            use_int8 = self.mode == "turbo"
 
             @jax.jit
-            def run(variables, images, ids, mask, tt):
+            def run(variables, qparams, images, ids, mask, tt):
                 # parity mode forces true-fp32 matmuls (TPU otherwise uses
                 # bf16-multipass for f32 dots)
                 with jax.default_matmul_precision(precision):
@@ -217,12 +226,47 @@ class InferenceEngine:
                         )
                     else:
                         x = images
-                    out = model.apply(variables, x, ids, mask, tt,
-                                      method=MultiModalDiagnosisModel.classify)
+                    if use_int8:
+                        from mmdx_tpu.models.resnet_int8 import int8_backbone_apply
+
+                        feats = int8_backbone_apply(qparams, x)
+                        out = model.apply(
+                            variables, feats, ids, mask, tt,
+                            method=MultiModalDiagnosisModel.classify_from_image_feats,
+                        )
+                    else:
+                        out = model.apply(variables, x, ids, mask, tt,
+                                          method=MultiModalDiagnosisModel.classify)
                     return out["probs"], out["z_img"], out["z_txt"]
 
             self._classify_cache[key] = run
         return self._classify_cache[key]
+
+    def _ensure_qparams(self, images):
+        """Int8 tower qparams, built once per engine (turbo mode only).
+
+        Activation scales come from ``bundle.metadata["int8_scales"]`` when
+        the bundle was calibrated offline (scripts/calibrate_int8.py);
+        otherwise the FIRST batch calibrates in place (one extra pass of the
+        folded f32 tower).
+        """
+        if self._qparams is None:
+            from mmdx_tpu.models import resnet_int8 as ri
+
+            cfg = self.bundle.config.image
+            scales = (self.bundle.metadata or {}).get("int8_scales")
+            if not scales:
+                imgs = jnp.asarray(images)
+                if imgs.dtype == jnp.uint8:
+                    imgs = jax.jit(lambda i: preprocess_batch_device(
+                        i, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std,
+                        out_dtype=jnp.float32,
+                    ))(imgs)
+                scales = ri.calibrate_backbone(self.variables, imgs)
+            self._qparams = jax.jit(
+                lambda v: ri.quantize_backbone(v, scales, cfg.bn_eps)
+            )(self.variables)
+        return self._qparams
 
     def _generate_fn(self, gen: GenerationConfig, greedy: bool):
         kw = make_generation_kwargs(gen)
@@ -308,7 +352,7 @@ class InferenceEngine:
         if key not in self._classify_cache:
             model = self.model
             cfg = self.bundle.config.image
-            on_device_preproc = self.mode == "fast"
+            on_device_preproc = self.mode in ("fast", "turbo")
 
             if which == "image":
                 from mmdx_tpu.models.resnet import ImageEncoder
@@ -376,8 +420,9 @@ class InferenceEngine:
         (imgs, ids, mask, tt), n = self._shard_inputs(
             imgs, tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
         )
+        qp = self._ensure_qparams(imgs) if self.mode == "turbo" else None
         fn = self._classify_fn(tuple(imgs.shape))
-        probs, z_img, z_txt = fn(self.variables, imgs, ids, mask, tt)
+        probs, z_img, z_txt = fn(self.variables, qp, imgs, ids, mask, tt)
         return np.asarray(probs, np.float32)[:n], z_img[:n], z_txt[:n]
 
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,

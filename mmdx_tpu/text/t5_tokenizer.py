@@ -12,9 +12,13 @@ same segmentation algorithm so a real exported vocabulary is a drop-in:
     SentencePiece's ``unigram_model.cc`` (per-position trie matches; positions
     with no single-char piece get an unk node scored ``min_score - 10.0``,
     SentencePiece's kUnkPenalty).
-  * normalization approximates nmt_nfkc: NFKC + whitespace collapse; then the
-    ``add_dummy_prefix`` convention (leading ``▁``, spaces -> ``▁``). T5 is
-    CASED — no lowercasing.
+  * normalization implements SentencePiece's ``nmt_nfkc`` rule set exactly
+    (``nmt_nfkc_normalize`` below): NFKC plus the NMT custom rules — extra
+    whitespace mappings (TAB/LF/CR/ZWSP/ZWJ/ZWNJ/LRM/RLM/line+para separators/
+    U+2581/BOM/replacement char -> space), ASCII/DEL control removal, the
+    FULL-WIDTH TILDE protection, and the remove_extra_whitespaces space
+    squeeze; then the ``add_dummy_prefix`` convention (leading ``▁``,
+    spaces -> ``▁``). T5 is CASED — no lowercasing.
   * a plain piece-per-line vocab (no scores) falls back to greedy
     longest-match (the legacy mode, still cased).
 
@@ -28,6 +32,74 @@ from pathlib import Path
 
 WORD_BOUNDARY = "▁"  # U+2581
 UNK_PENALTY = 10.0  # SentencePiece kUnkPenalty (unigram_model.cc)
+
+# SentencePiece nmt_nfkc custom rules (builder.cc BuildNmtNFKCMap) — the
+# normalizer baked into T5's spiece.model, which the reference applies via
+# T5Tokenizer (reference training_pipeline.py:980, inference_pipeline.py:196).
+# Code points additionally considered whitespace:
+_NMT_TO_SPACE = frozenset({
+    0x0009,  # TAB
+    0x000A,  # LINE FEED
+    0x000C,  # FORM FEED
+    0x000D,  # CARRIAGE RETURN
+    0x1680,  # OGHAM SPACE MARK
+    0x200B,  # ZERO WIDTH SPACE
+    0x200C,  # ZERO WIDTH NON-JOINER
+    0x200D,  # ZERO WIDTH JOINER
+    0x200E,  # LEFT-TO-RIGHT MARK
+    0x200F,  # RIGHT-TO-LEFT MARK
+    0x2028,  # LINE SEPARATOR
+    0x2029,  # PARAGRAPH SEPARATOR
+    0x2581,  # LOWER ONE EIGHTH BLOCK (the escape char itself)
+    0xFEFF,  # ZERO WIDTH NO-BREAK SPACE / BOM
+    0xFFFD,  # REPLACEMENT CHARACTER
+})
+# Control characters removed outright (note: 0x008F/0x009F only from the C1
+# range — a quirk of the upstream table, reproduced faithfully):
+_NMT_REMOVE = frozenset(
+    set(range(0x0001, 0x0009)) | {0x000B} | set(range(0x000E, 0x0020))
+    | {0x007F, 0x008F, 0x009F}
+)
+_FULLWIDTH_TILDE = "～"  # protected from NFKC (kept as WAVE DASH stand-in)
+
+
+def nmt_nfkc_normalize(text: str) -> str:
+    """SentencePiece ``nmt_nfkc`` normalization + remove_extra_whitespaces.
+
+    Pipeline (order-equivalent to the upstream single-pass charsmap, whose
+    custom keys are single code points disjoint from NFKC's multi-char
+    composition keys):
+      1. drop NMT control chars, map NMT whitespace variants to U+0020;
+      2. NFKC, with U+FF5E protected (upstream erases that NFKC rule so the
+         full-width tilde survives as Japan's WAVE DASH replacement);
+      3. trim and squeeze runs of U+0020 (remove_extra_whitespaces=true, the
+         spiece.model default) — only literal spaces, so e.g. U+0085 NEL,
+         which neither NFKC nor the NMT table touches, passes through.
+    """
+    buf = []
+    for ch in text:
+        cp = ord(ch)
+        if cp in _NMT_REMOVE:
+            continue
+        buf.append(" " if cp in _NMT_TO_SPACE else ch)
+    s = "".join(buf)
+    s = _FULLWIDTH_TILDE.join(
+        unicodedata.normalize("NFKC", part)
+        for part in s.split(_FULLWIDTH_TILDE)
+    )
+    out = []
+    prev_space = True  # True at start -> leading spaces dropped
+    for ch in s:
+        if ch == " ":
+            if prev_space:
+                continue
+            prev_space = True
+        else:
+            prev_space = False
+        out.append(ch)
+    if out and out[-1] == " ":
+        out.pop()
+    return "".join(out)
 
 
 class T5StyleTokenizer:
@@ -84,9 +156,8 @@ class T5StyleTokenizer:
     # ------------------------------------------------------------------
     @staticmethod
     def normalize(text: str) -> str:
-        """NFKC + whitespace collapse (approximation of nmt_nfkc)."""
-        text = unicodedata.normalize("NFKC", text)
-        return " ".join(text.split())
+        """Exact SentencePiece ``nmt_nfkc`` + remove_extra_whitespaces."""
+        return nmt_nfkc_normalize(text)
 
     def _viterbi(self, s: str) -> list[int]:
         """Max-score segmentation of the full transformed sentence ``s``

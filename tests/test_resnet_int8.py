@@ -1,0 +1,139 @@
+"""Int8 "turbo" image tower: numerics, accuracy guardrail, persistence.
+
+The quantized backbone replaces the serving-path torchvision ResNet-50 of the
+reference (backend/ml/pipelines/training_pipeline.py:157-311) — these tests
+bound its deviation from the exact bf16/f32 tower, which IS the parity story
+for an opt-in lossy mode.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmdx_tpu.checkpoints.bundle import load_bundle, new_random_bundle, save_bundle
+from mmdx_tpu.models.resnet import ImageEncoder
+from mmdx_tpu.models.resnet_int8 import (
+    calibrate_backbone,
+    calibration_sites,
+    folded_backbone,
+    folded_forward,
+    int8_backbone_apply,
+    quantize_backbone,
+)
+from mmdx_tpu.runtime.engine import InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return new_random_bundle(seed=0, small=True)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(3)
+    # smooth-ish blobs, not white noise: closer to radiograph statistics
+    base = rng.standard_normal((4, 8, 8, 3))
+    x = jax.image.resize(jnp.asarray(base), (4, 64, 64, 3), "cubic")
+    return jnp.asarray(x, jnp.float32)
+
+
+def test_folded_forward_matches_flax_backbone(bundle, images):
+    v = bundle.variables
+    enc = ImageEncoder(config=bundle.config.image, dtype=jnp.float32)
+    oracle = enc.apply(
+        {
+            "params": v["params"]["image_encoder"],
+            "batch_stats": v["batch_stats"]["image_encoder"],
+        },
+        images, method=ImageEncoder.backbone_features,
+    )
+    folded, _ = folded_forward(
+        folded_backbone(
+            v["params"]["image_encoder"]["backbone"],
+            v["batch_stats"]["image_encoder"]["backbone"],
+        ),
+        images,
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(oracle), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_calibration_covers_all_sites(bundle, images):
+    scales = calibrate_backbone(bundle.variables, images)
+    assert sorted(scales) == sorted(calibration_sites())
+    assert all(v > 0 for v in scales.values())
+
+
+def test_int8_features_close_to_f32(bundle, images):
+    v = bundle.variables
+    scales = calibrate_backbone(bundle.variables, images)
+    q = quantize_backbone(v, scales)
+    ref, _ = folded_forward(
+        folded_backbone(
+            v["params"]["image_encoder"]["backbone"],
+            v["batch_stats"]["image_encoder"]["backbone"],
+        ),
+        images,
+    )
+    got = int8_backbone_apply(q, images)
+    denom = float(jnp.max(jnp.abs(ref)))
+    rel = float(jnp.max(jnp.abs(got - ref))) / denom
+    # random-weight nets amplify quantization noise vs trained ones; 10% rel
+    # on pooled features still bounds the head-level delta tightly (see the
+    # probs guardrail below, the user-facing contract)
+    assert rel < 0.10, rel
+
+
+def test_quantize_requires_all_sites(bundle, images):
+    scales = calibrate_backbone(bundle.variables, images)
+    scales.pop("stem")
+    with pytest.raises(ValueError, match="calibration sites"):
+        quantize_backbone(bundle.variables, scales)
+
+
+def _sample_images(n=2):
+    root = Path(__file__).resolve().parents[1] / (
+        "mmdx_tpu/serve/sample_data/sample_images"
+    )
+    return [p.read_bytes() for p in sorted(root.glob("*.jpg"))[:n]]
+
+
+def test_turbo_engine_probs_guardrail(bundle):
+    """The accuracy contract: turbo probabilities stay within quantization
+    tolerance of fast-mode probabilities on the packaged sample assets."""
+    imgs = _sample_images()
+    texts = ["62 year old male, cough", "45 year old female, chest pain"]
+    fast = InferenceEngine(bundle, mode="fast")
+    turbo = InferenceEngine(bundle, mode="turbo")
+    pf, _, _ = fast.classify_batch(imgs, texts)
+    pt, _, _ = turbo.classify_batch(imgs, texts)
+    assert float(np.abs(pf - pt).max()) < 0.05
+    # decision-level agreement at the serving thresholds, wherever the fast
+    # prediction isn't sitting on the knife's edge (random weights put some
+    # probs within noise of 0.5; any lossy mode flips those)
+    th = np.asarray(bundle.thresholds, np.float32)
+    confident = np.abs(pf - th) > 0.02
+    assert np.array_equal((pf >= th)[confident], (pt >= th)[confident])
+    assert confident.mean() > 0.5  # the check isn't vacuous
+
+
+def test_turbo_uses_bundle_scales_when_present(bundle, images, tmp_path):
+    """Persisted metadata scales short-circuit first-batch calibration."""
+    import copy
+
+    scales = calibrate_backbone(bundle.variables, images)
+    b2 = copy.copy(bundle)
+    b2.metadata = {"int8_scales": scales}
+    path = tmp_path / "b.mmdx"
+    save_bundle(b2, path, timestamped_copy=False)
+    loaded = load_bundle(path)
+    assert loaded.metadata["int8_scales"].keys() == scales.keys()
+    eng = InferenceEngine(loaded, mode="turbo")
+    qp = eng._ensure_qparams(None)  # no batch needed: scales are persisted
+    assert qp["stem"]["w"].dtype == jnp.int8
+    got = eng._ensure_qparams(None)
+    assert got is qp  # built once

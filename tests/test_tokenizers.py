@@ -162,3 +162,61 @@ def test_unigram_shipped_vocab_roundtrip():
     ids = tok.encode(text)
     assert ids[-1] == tok.eos_token_id
     assert tok.decode(ids) == text
+
+
+def test_nmt_nfkc_normalization_fixtures():
+    """Hand-built fixtures for the vendored SentencePiece nmt_nfkc rule set
+    (builder.cc BuildNmtNFKCMap + remove_extra_whitespaces). These are the
+    cases where plain 'NFKC + whitespace collapse' (the round-2 approximation)
+    gives DIFFERENT answers than the reference's T5Tokenizer normalizer."""
+    from mmdx_tpu.text.t5_tokenizer import nmt_nfkc_normalize as norm
+
+    # NMT whitespace variants -> space (NFKC alone leaves most of these)
+    assert norm("a​b") == "a b"        # ZERO WIDTH SPACE
+    assert norm("a‍b") == "a b"        # ZERO WIDTH JOINER
+    assert norm("a‌b") == "a b"        # ZERO WIDTH NON-JOINER
+    assert norm("a‎‏b") == "a b"  # LRM+RLM -> two spaces -> squeeze
+    assert norm("a b c") == "a b c"  # line/para separators
+    assert norm("a﻿b") == "a b"        # BOM
+    assert norm("a�b") == "a b"        # replacement char
+    assert norm("a▁b") == "a b"        # the escape char itself
+    assert norm("a\tb\nc\rd") == "a b c d"  # TAB/LF/CR
+
+    # control characters removed outright (NOT spaces)
+    assert norm("a\x07b") == "ab"           # BEL
+    assert norm("a\x01\x02b") == "ab"
+    assert norm("a\x1fb") == "ab"
+    assert norm("a\x7fb") == "ab"           # DEL
+    assert norm("a\x8fb") == "ab"
+    assert norm("a\x9fb") == "ab"
+    # ...but only 8F/9F from the C1 range (upstream table quirk) and NEL
+    # (U+0085) passes through untouched
+    assert norm("a\x85b") == "a\x85b"
+    assert norm("a\x80b") == "a\x80b"
+
+    # NFKC proper still applies
+    assert norm("ＡＢＣ１２３") == "ABC123"   # full-width forms
+    assert norm("a b") == "a b"          # NBSP -> space via NFKC
+    assert norm("ﬁle") == "file"         # fi ligature
+    assert norm("é") == "é"        # combining acute composes
+
+    # FULL-WIDTH TILDE is protected from NFKC (wave-dash replacement)
+    assert norm("あ～い") == "あ～い"
+    assert norm("ＡＢ～ＣＤ") == "AB～CD"    # protection is per-char, NFKC around it
+
+    # remove_extra_whitespaces: trim + squeeze literal spaces only
+    assert norm("  a   b  ") == "a b"
+    assert norm("") == ""
+    assert norm(" \t ") == ""
+
+
+def test_nmt_nfkc_feeds_encoder():
+    """T5StyleTokenizer.normalize routes through the exact nmt_nfkc rules."""
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+
+    b = new_random_bundle(seed=0, small=True)
+    _, tok = b.tokenizers()
+    # ZWJ would be kept by plain NFKC; nmt_nfkc makes these identical inputs
+    a = tok.encode("lungs‍clear")
+    c = tok.encode("lungs clear")
+    assert a == c
