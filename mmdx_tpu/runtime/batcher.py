@@ -6,6 +6,18 @@ This batcher gives the serving layer the throughput of the batched path:
 requests queue up, a collector thread drains up to ``max_batch`` of them (or
 whatever arrived within ``max_wait_ms``), runs ONE fused classify on the
 padded batch, and distributes results back to the waiting callers.
+
+Pipelined (round 3): classification and generation run on separate stage
+threads with a bounded handoff queue, so batch N+1's classify overlaps batch
+N's (much slower) beam-search generation — with beam-4 on, a B=64 generation
+is ~340 ms during which the classify stage keeps draining the input queue.
+
+Backpressure: the input queue is bounded (``queue_depth``); when it is full
+``submit`` raises ``BatcherSaturated`` and the HTTP layer translates that to
+503 + Retry-After instead of letting latency (and memory) grow without bound.
+
+Shutdown: ``stop(drain=True)`` stops accepting work, lets both stages empty
+their queues, then joins the threads — in-flight requests complete.
 """
 from __future__ import annotations
 
@@ -15,6 +27,10 @@ from concurrent.futures import Future
 from dataclasses import dataclass
 
 
+class BatcherSaturated(RuntimeError):
+    """Input queue at capacity — shed load upstream (HTTP 503)."""
+
+
 @dataclass
 class _Item:
     image: object
@@ -22,10 +38,20 @@ class _Item:
     future: Future
 
 
+@dataclass
+class _Handoff:
+    """Classified batch awaiting report generation."""
+
+    items: list
+    probs: object  # np [bucket, 13]
+    z_img: object
+    z_txt: object
+
+
 class MicroBatcher:
     def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 5.0,
                  generate: bool = False, greedy: bool = False,
-                 gen_overrides: dict | None = None):
+                 gen_overrides: dict | None = None, queue_depth: int = 0):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
@@ -38,21 +64,49 @@ class MicroBatcher:
             self.gen = dataclasses.replace(
                 engine.bundle.config.generation, **gen_overrides
             )
-        self._queue: queue.Queue[_Item] = queue.Queue()
+        # default depth: 4 full batches queued before load shedding
+        self.queue_depth = queue_depth or 4 * max_batch
+        self._queue: queue.Queue[_Item] = queue.Queue(maxsize=self.queue_depth)
+        # handoff between the classify and generate stages; depth 2 keeps one
+        # batch generating while the next one's classify completes, without
+        # letting classified batches pile up unboundedly
+        self._handoff: queue.Queue[_Handoff] = queue.Queue(maxsize=2)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="mmdx-batcher")
-        self._thread.start()
+        self._draining = threading.Event()
+        self._classify_thread = threading.Thread(
+            target=self._classify_loop, daemon=True, name="mmdx-batcher-classify"
+        )
+        self._classify_thread.start()
+        self._generate_thread = None
+        if self.generate:
+            self._generate_thread = threading.Thread(
+                target=self._generate_loop, daemon=True,
+                name="mmdx-batcher-generate",
+            )
+            self._generate_thread.start()
 
+    # -- client API ------------------------------------------------------
     def submit(self, image, text: str) -> Future:
-        """Returns a Future resolving to the reference-shaped inference dict."""
+        """Returns a Future resolving to the reference-shaped inference dict.
+
+        Raises BatcherSaturated when the bounded input queue is full or the
+        batcher is shutting down.
+        """
+        if self._stop.is_set() or self._draining.is_set():
+            raise BatcherSaturated("batcher is shutting down")
         item = _Item(image, text, Future())
-        self._queue.put(item)
+        try:
+            self._queue.put_nowait(item)
+        except queue.Full:
+            raise BatcherSaturated(
+                f"input queue at capacity ({self.queue_depth})"
+            ) from None
         return item.future
 
     def infer(self, image, text: str, timeout: float | None = 30.0) -> dict:
         return self.submit(image, text).result(timeout=timeout)
 
+    # -- stage 1: collect + classify --------------------------------------
     def _collect(self) -> list[_Item]:
         try:
             first = self._queue.get(timeout=0.1)
@@ -74,8 +128,10 @@ class MicroBatcher:
             timer.cancel()
         return items
 
-    def _loop(self):
+    def _classify_loop(self):
         while not self._stop.is_set():
+            if self._draining.is_set() and self._queue.empty():
+                break
             items = self._collect()
             if not items:
                 continue
@@ -88,28 +144,86 @@ class MicroBatcher:
                 images = [it.image for it in items] + [items[0].image] * (bucket - n)
                 texts = [it.text for it in items] + [items[0].text] * (bucket - n)
                 probs, z_img, z_txt = self.engine.classify_batch(images, texts)
-                reports = (
-                    self.engine.generate_reports(z_img, z_txt, self.gen,
-                                                 greedy=self.greedy)[:n]
-                    if self.generate else [""] * n
-                )
-                probs = probs[:n]
-                thresholds = self.engine.thresholds
-                names = self.engine.bundle.class_names
-                for i, it in enumerate(items):
-                    it.future.set_result({
-                        "report_text": reports[i],
-                        "disease_probs": {
-                            n: float(probs[i][j]) for j, n in enumerate(names)
-                        },
-                        "disease_vector": (probs[i] >= thresholds).astype(int).tolist(),
-                        "model_version": self.engine.bundle.version,
-                    })
-            except Exception as e:
+                if self.generate:
+                    # hand off to the generate stage; blocks only when two
+                    # classified batches are already waiting (bounded
+                    # pipelining, not unbounded buffering)
+                    self._handoff.put(_Handoff(items, probs, z_img, z_txt))
+                else:
+                    self._resolve(items, probs, [""] * n)
+            except Exception as e:  # noqa: BLE001
                 for it in items:
                     if not it.future.done():
                         it.future.set_exception(e)
+        # signal the generate stage that no more handoffs are coming (best
+        # effort: on a non-drain stop the queue may be full and the generate
+        # stage is exiting on _stop anyway)
+        if self.generate:
+            try:
+                self._handoff.put(None, timeout=1.0)
+            except queue.Full:
+                pass
 
-    def stop(self):
+    # -- stage 2: generate -------------------------------------------------
+    def _generate_loop(self):
+        while True:
+            h = self._handoff.get()
+            if h is None:
+                break
+            if self._stop.is_set() and not self._draining.is_set():
+                err = BatcherSaturated("batcher stopped")
+                for it in h.items:
+                    if not it.future.done():
+                        it.future.set_exception(err)
+                continue
+            try:
+                reports = self.engine.generate_reports(
+                    h.z_img, h.z_txt, self.gen, greedy=self.greedy
+                )
+                self._resolve(h.items, h.probs, reports)
+            except Exception as e:  # noqa: BLE001
+                for it in h.items:
+                    if not it.future.done():
+                        it.future.set_exception(e)
+
+    def _resolve(self, items, probs, reports):
+        thresholds = self.engine.thresholds
+        names = self.engine.bundle.class_names
+        for i, it in enumerate(items):
+            it.future.set_result({
+                "report_text": reports[i],
+                "disease_probs": {
+                    n: float(probs[i][j]) for j, n in enumerate(names)
+                },
+                "disease_vector": (probs[i] >= thresholds).astype(int).tolist(),
+                "model_version": self.engine.bundle.version,
+            })
+
+    # -- lifecycle ---------------------------------------------------------
+    def stop(self, drain: bool = False, timeout: float = 30.0):
+        """Stop the batcher. ``drain=True`` completes queued work first
+        (new submits are rejected immediately either way)."""
+        if drain:
+            self._draining.set()
+            self._classify_thread.join(timeout=timeout)
+            if self._generate_thread is not None:
+                self._generate_thread.join(timeout=timeout)
         self._stop.set()
-        self._thread.join(timeout=5)
+        if not drain:
+            # unblock the generate stage if it's waiting on the handoff
+            try:
+                self._handoff.put_nowait(None)
+            except queue.Full:
+                pass
+        self._classify_thread.join(timeout=5)
+        if self._generate_thread is not None:
+            self._generate_thread.join(timeout=5)
+        # fail whatever is still queued
+        err = BatcherSaturated("batcher stopped")
+        while True:
+            try:
+                it = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not it.future.done():
+                it.future.set_exception(err)

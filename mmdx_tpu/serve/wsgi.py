@@ -36,7 +36,7 @@ class DiagnosisApp:
     def __init__(self, bundle=None, engine_mode: str = "parity",
                  generate_reports: bool = True, gen_overrides: dict | None = None,
                  greedy: bool = False, batch_window_ms: float = 5.0,
-                 max_batch: int = 32):
+                 max_batch: int = 32, queue_depth: int = 0):
         self._bundle = bundle
         self.engine_mode = engine_mode
         self.generate_reports = generate_reports
@@ -44,6 +44,7 @@ class DiagnosisApp:
         self.greedy = greedy
         self.batch_window_ms = batch_window_ms
         self.max_batch = max_batch
+        self.queue_depth = queue_depth
         self._batcher = None
         self._lock = __import__("threading").Lock()
         self._static_dir = Path(__file__).resolve().parent / "frontend"
@@ -70,6 +71,7 @@ class DiagnosisApp:
                         max_wait_ms=self.batch_window_ms,
                         generate=self.generate_reports, greedy=self.greedy,
                         gen_overrides=self.gen_overrides,
+                        queue_depth=self.queue_depth,
                     )
         return self._batcher
 
@@ -97,17 +99,18 @@ class DiagnosisApp:
     def _json(self, start_response, status: int, payload):
         body = json.dumps(payload).encode("utf-8")
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
-                   500: "Internal Server Error"}
-        start_response(
-            f"{status} {reasons.get(status, 'OK')}",
-            [
-                ("Content-Type", "application/json"),
-                ("Content-Length", str(len(body))),
-                ("Access-Control-Allow-Origin", "*"),
-                ("Access-Control-Allow-Headers", "*"),
-                ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
-            ],
-        )
+                   500: "Internal Server Error", 503: "Service Unavailable"}
+        headers = [
+            ("Content-Type", "application/json"),
+            ("Content-Length", str(len(body))),
+            ("Access-Control-Allow-Origin", "*"),
+            ("Access-Control-Allow-Headers", "*"),
+            ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
+        ]
+        if status == 503:
+            # load-shed hint: one micro-batch round-trip is the natural retry
+            headers.append(("Retry-After", "1"))
+        start_response(f"{status} {reasons.get(status, 'OK')}", headers)
         return [body]
 
     # -- routes ----------------------------------------------------------
@@ -144,7 +147,15 @@ class DiagnosisApp:
         except Exception:
             return self._json(start_response, 400, {"error": "Invalid image format."})
 
-        preds = self._get_batcher().infer(image_pil, patient_details)
+        from mmdx_tpu.runtime.batcher import BatcherSaturated
+
+        try:
+            preds = self._get_batcher().infer(image_pil, patient_details)
+        except BatcherSaturated as e:
+            # bounded-queue backpressure: shed load instead of queueing
+            # unboundedly (the reference has no equivalent; Django would
+            # just stack threads)
+            return self._json(start_response, 503, {"error": str(e)})
 
         raw_probs = preds.get("disease_probs") or {}
         diseases = []
@@ -213,16 +224,33 @@ def make_app(**kwargs) -> DiagnosisApp:
     return DiagnosisApp(**kwargs)
 
 
-def make_server(host: str, port: int, app):
-    """Threaded WSGI server: concurrent requests land in the MicroBatcher's
-    queue and fuse into one device batch (wsgiref's default server is
-    single-threaded, so concurrent clients would serialize and the batcher
-    would never see a batch)."""
+def make_server(host: str, port: int, app, request_timeout: float = 60.0,
+                backlog: int = 128):
+    """Threaded WSGI server, production-hardened.
+
+    * threaded: concurrent requests land in the MicroBatcher's queue and
+      fuse into one device batch (wsgiref's default server is
+      single-threaded, so concurrent clients would serialize and the
+      batcher would never see a batch);
+    * bounded accept backlog (``request_queue_size``) so a connection storm
+      queues in the kernel up to a limit instead of piling threads —
+      combined with the batcher's bounded queue + 503, load sheds at two
+      layers (the reference's gunicorn setup relies on the same pattern,
+      reference backend/Procfile:1);
+    * per-connection socket timeout so a stalled client can't pin a
+      handler thread forever.
+    """
     import socketserver
     from wsgiref.simple_server import WSGIServer, make_server as _make
 
     class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        request_queue_size = backlog
+        timeout = request_timeout
+
+        def process_request(self, request, client_address):
+            request.settimeout(request_timeout)
+            super().process_request(request, client_address)
 
     return _make(host, port, app, server_class=ThreadingWSGIServer)
 
@@ -230,11 +258,20 @@ def make_server(host: str, port: int, app):
 def main():
     """Server: python -m mmdx_tpu.serve.wsgi.
 
-    Env: PORT (8000); MMDX_ENGINE_MODE=parity|fast; MMDX_GENERATE=1|0
+    Env: PORT (8000); MMDX_ENGINE_MODE=parity|fast|turbo; MMDX_GENERATE=1|0
     (report generation on/off); MMDX_GEN_MODE=beam|greedy;
     MMDX_BATCH_WINDOW_MS (micro-batching window, default 5);
-    MMDX_MAX_BATCH (fused batch cap, default 32); MMDX_BUNDLE_PATH.
+    MMDX_MAX_BATCH (fused batch cap, default 32);
+    MMDX_QUEUE_DEPTH (bounded request queue before 503s, default
+    4*max_batch); MMDX_REQUEST_TIMEOUT_S (socket timeout, default 60);
+    MMDX_BUNDLE_PATH.
+
+    SIGTERM/SIGINT drain the batcher (in-flight requests complete) before
+    the process exits.
     """
+    import signal
+    import threading
+
     port = int(os.getenv("PORT", "8000"))
     app = make_app(
         engine_mode=os.getenv("MMDX_ENGINE_MODE", "parity"),
@@ -242,11 +279,30 @@ def main():
         greedy=os.getenv("MMDX_GEN_MODE", "beam") == "greedy",
         batch_window_ms=float(os.getenv("MMDX_BATCH_WINDOW_MS", "5")),
         max_batch=int(os.getenv("MMDX_MAX_BATCH", "32")),
+        queue_depth=int(os.getenv("MMDX_QUEUE_DEPTH", "0")),
     )
+    server = make_server(
+        "0.0.0.0", port, app,
+        request_timeout=float(os.getenv("MMDX_REQUEST_TIMEOUT_S", "60")),
+    )
+
+    def _shutdown(signum, frame):
+        print(f"[mmdx] signal {signum}: draining batcher and stopping")
+        if app._batcher is not None:
+            app._batcher.stop(drain=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
     print(f"[mmdx] serving on http://0.0.0.0:{port} "
           f"(mode={app.engine_mode}, generate={app.generate_reports}, "
-          f"threaded + micro-batched)")
-    make_server("0.0.0.0", port, app).serve_forever()
+          f"threaded + pipelined micro-batcher, "
+          f"queue_depth={app.queue_depth or 4 * app.max_batch})")
+    try:
+        server.serve_forever()
+    finally:
+        if app._batcher is not None:
+            app._batcher.stop(drain=True)
 
 
 if __name__ == "__main__":

@@ -99,3 +99,124 @@ def test_batcher_generation_options(rng):
         assert len(out["disease_probs"]) == 13
     finally:
         batcher.stop()
+
+
+class _StageProbeEngine:
+    """Fake engine with controllable stage latencies, recording a timeline of
+    (event, batch_tag) tuples — for pipelining/backpressure tests with no
+    device work at all."""
+
+    class _Bundle:
+        class_names = ["d%d" % i for i in range(13)]
+        version = 1
+
+        class config:  # noqa: N801 - attribute shim
+            generation = None
+
+    def __init__(self, gen_gate: threading.Event | None = None):
+        self.bundle = self._Bundle()
+        self.thresholds = np.full(13, 0.5, np.float32)
+        self.timeline = []
+        self._lock = threading.Lock()
+        self.gen_gate = gen_gate  # generation blocks until set
+
+    def _log(self, event, tag):
+        with self._lock:
+            self.timeline.append((event, tag))
+
+    def classify_batch(self, images, texts):
+        tag = texts[0]
+        self._log("classify_start", tag)
+        n = len(images)
+        probs = np.full((n, 13), 0.25, np.float32)
+        self._log("classify_end", tag)
+        return probs, np.zeros((n, 4), np.float32), np.zeros((n, 4), np.float32)
+
+    def generate_reports(self, z_img, z_txt, gen=None, greedy=False):
+        self._log("generate_start", "gen")
+        if self.gen_gate is not None:
+            assert self.gen_gate.wait(timeout=30)
+        self._log("generate_end", "gen")
+        return ["report"] * int(z_img.shape[0])
+
+
+def test_pipeline_overlap():
+    """Batch 2's CLASSIFY must run while batch 1's GENERATE is still blocked —
+    the two stages are separate threads with a handoff queue (round-2 verdict:
+    the single-loop batcher serialized classify behind a ~340 ms beam-4
+    generation)."""
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=4, max_wait_ms=5.0, generate=True)
+    try:
+        f1 = batcher.submit("img", "batch1")
+        # wait until batch 1 is inside generate (blocked on the gate)
+        for _ in range(200):
+            if ("generate_start", "gen") in engine.timeline:
+                break
+            threading.Event().wait(0.01)
+        assert ("generate_start", "gen") in engine.timeline
+
+        f2 = batcher.submit("img", "batch2")
+        # batch 2's classify must COMPLETE while batch 1's generate is blocked
+        for _ in range(200):
+            if ("classify_end", "batch2") in engine.timeline:
+                break
+            threading.Event().wait(0.01)
+        assert ("classify_end", "batch2") in engine.timeline, engine.timeline
+        assert ("generate_end", "gen") not in engine.timeline  # still blocked
+
+        gate.set()
+        assert f1.result(timeout=30)["report_text"] == "report"
+        assert f2.result(timeout=30)["report_text"] == "report"
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_backpressure_saturation():
+    """A full bounded input queue raises BatcherSaturated instead of queueing
+    without bound."""
+    from mmdx_tpu.runtime.batcher import BatcherSaturated
+
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=2, max_wait_ms=1.0,
+                           generate=True, queue_depth=3)
+    try:
+        # stall the pipeline: batch 1 occupies generate, handoff fills, then
+        # the input queue (depth 3) fills
+        futures = []
+        saturated = 0
+        for i in range(40):
+            try:
+                futures.append(batcher.submit("img", f"t{i}"))
+            except BatcherSaturated:
+                saturated += 1
+            threading.Event().wait(0.005)
+        assert saturated > 0, "queue never saturated"
+        gate.set()
+        # everything accepted still completes
+        for f in futures:
+            assert f.result(timeout=30)["report_text"] == "report"
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_graceful_stop_drains():
+    """stop(drain=True) completes queued work; later submits are rejected."""
+    from mmdx_tpu.runtime.batcher import BatcherSaturated
+
+    engine = _StageProbeEngine()
+    batcher = MicroBatcher(engine, max_batch=4, max_wait_ms=5.0, generate=True)
+    futures = [batcher.submit("img", f"t{i}") for i in range(6)]
+    batcher.stop(drain=True)
+    for f in futures:
+        assert f.result(timeout=1)["report_text"] == "report"
+    try:
+        batcher.submit("img", "late")
+        raised = False
+    except BatcherSaturated:
+        raised = True
+    assert raised

@@ -144,3 +144,22 @@ def test_load_sample_packaged_fallback(app, monkeypatch, tmp_path):
     payload = json.loads(raw)
     assert payload["image_name"] in {"s1.jpg", "s2.jpg"}
     assert "year old" in payload["patient_details"]
+
+
+def test_predict_503_on_saturation(app, sample_image_paths, monkeypatch):
+    """A saturated batcher surfaces as 503 + Retry-After (load shedding),
+    not an unbounded queue or a 500."""
+    from mmdx_tpu.runtime.batcher import BatcherSaturated
+
+    class _Saturated:
+        def infer(self, image, text, timeout=None):
+            raise BatcherSaturated("input queue at capacity (128)")
+
+    monkeypatch.setattr(app, "_get_batcher", lambda: _Saturated())
+    img_bytes = open(sample_image_paths[0], "rb").read()
+    body, ctype = multipart_body({"patient_details": "x"},
+                                 {"image": ("a.jpg", img_bytes, "image/jpeg")})
+    status, headers, payload = call(app, "POST", "/api/predict/", body, ctype)
+    assert status.startswith("503")
+    assert headers.get("Retry-After") == "1"
+    assert "capacity" in json.loads(payload)["error"]
