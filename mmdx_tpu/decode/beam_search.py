@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from mmdx_tpu.config import GenerationConfig
-from mmdx_tpu.decode.ngram import ban_repeated_ngrams
+from mmdx_tpu.decode.ngram import ban_repeated_ngrams, banned_ngram_mask
 
 NEG = jnp.float32(-1e9)
 
@@ -99,6 +99,88 @@ def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 512):
     vals, gi = topk_small(gathered.reshape(n, k * chunk), k)
     src_chunk = jnp.take_along_axis(chunk_idx, gi // chunk, axis=1)
     return vals, src_chunk * chunk + gi % chunk
+
+
+def _chunk_divisor(v: int, lo: int = 128, hi: int = 1024, target: int = 512):
+    """Largest-|target-c| divisor of v in [lo, hi], or None (dense fallback).
+    V=32128 = 2^7 * 251 -> 502: the reshape is free (no pad copy) and 64
+    chunks per row keep the first-stage cmax tensor tiny."""
+    best = None
+    for c in range(lo, hi + 1):
+        if v % c == 0 and (best is None or abs(c - target) < abs(best - target)):
+            best = c
+    return best
+
+
+def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: int,
+                         k: int, b: int, nb: int):
+    """Top-k of ``log_softmax(logits) + beam_scores`` over each batch row's
+    nb*V candidates — WITHOUT materializing any [N, V] float32 tensor.
+
+    The round-2 trace showed the beam step paying ~0.5 ms in the logit->
+    logprob->candidate chain: log_softmax writes a full f32 [N, V], the
+    ngram/eos masks rewrite it, the beam-score add rewrites it again, and the
+    top-k tournament reads it back — ~6 HBM round-trips of 33 MB each at the
+    serving shape. Here the chain is restructured so XLA fuses everything
+    into three reductions over the bf16 logits (row max, logsumexp, chunk
+    max) plus small gathers:
+
+      adjusted[r, t] = ((mask(x[r, t]) - m[r]) - L[r]) + s[r]
+
+    which is BITWISE the reference chain ``log_softmax(x) + s`` with masks
+    (same operation order, same f32 ops), so selection and returned scores
+    are exactly those of the dense path (asserted in tests/test_topk.py).
+
+    banned: optional bool [N, V] (True = banned -> -inf).
+    mask_eos: traced bool scalar — mask the eos column (min-length rule).
+    Returns (vals [B, k], flat_idx [B, k]) with flat_idx in the beam-major
+    [nb * V] candidate space (same contract as ``topk_chunked``).
+    """
+    n, v = logits.shape
+    x32 = logits.astype(jnp.float32)
+    # m and L over the RAW logits (log_softmax runs before the mask in the
+    # reference chain); both reduces fuse over the bf16 tensor, no f32 copy
+    m = jnp.max(x32, axis=-1)
+    L = jnp.log(jnp.sum(jnp.exp(x32 - m[:, None]), axis=-1))
+    s_row = beam_scores.reshape(n)
+    eos_col = (jnp.arange(v) == eos_token_id)[None, :]
+
+    def adjust(x, ban, eos, mm, ll, ss):
+        a = jnp.where(mask_eos & eos, -jnp.inf, x.astype(jnp.float32))
+        if ban is not None:
+            a = jnp.where(ban, -jnp.inf, a)
+        return ((a - mm) - ll) + ss
+
+    chunk = _chunk_divisor(v)
+    if chunk is None or v // chunk < 2 or n * v <= 1 << 20:
+        # small-vocab path (tests, custom configs): materializing is cheap
+        adjusted = adjust(x32, banned, eos_col, m[:, None], L[:, None],
+                          s_row[:, None])
+        return topk_chunked(adjusted.reshape(b, nb * v), k)
+
+    c = v // chunk
+    # stage 1: per-chunk max of the adjusted values — the elementwise chain
+    # fuses into this single read of the logits
+    adjusted_full = adjust(x32, banned, eos_col, m[:, None], L[:, None],
+                           s_row[:, None])
+    cmax = jnp.max(adjusted_full.reshape(n, c, chunk), axis=-1)  # [N, C]
+    # stage 2: top-k chunks per BATCH row (beam-major == global order), then
+    # re-derive the adjusted values on just those k*chunk columns
+    _, cidx = topk_small(cmax.reshape(b, nb * c), k)  # [B, k] global chunk ids
+    cidx = jnp.sort(cidx, axis=-1)  # ascending == earliest-index tie order
+    rows = (jnp.arange(b, dtype=cidx.dtype)[:, None] * nb) + cidx // c  # [B,k]
+    lin = rows * c + cidx % c
+    gl = jnp.take(logits.reshape(n * c, chunk), lin, axis=0)  # [B, k, chunk]
+    gb = (jnp.take(banned.reshape(n * c, chunk), lin, axis=0)
+          if banned is not None else None)
+    tok_of = (cidx % c)[..., None] * chunk + jnp.arange(chunk)[None, None, :]
+    adj = adjust(gl, gb, tok_of == eos_token_id,
+                 jnp.take(m, rows)[..., None], jnp.take(L, rows)[..., None],
+                 jnp.take(s_row, rows)[..., None])
+    vals, gi = topk_small(adj.reshape(b, k * chunk), k)
+    sel_chunk = jnp.take_along_axis(cidx, gi // chunk, axis=1)
+    flat_idx = (sel_chunk // c) * v + (sel_chunk % c) * chunk + gi % chunk
+    return vals, flat_idx
 
 
 def beam_gather_rows(x: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
@@ -231,19 +313,18 @@ def beam_search(
             logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache, s.anc)
         else:
             logits, cache = step_fn(last_tok.reshape(n, 1), cur - 1, s.cache)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [N,V]
 
-        # min-length: mask eos while generated < min_new_tokens
-        logprobs = jnp.where(
-            (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :], -jnp.inf, logprobs
+        # fused candidate selection: log_softmax + min-length eos mask +
+        # ngram ban + beam-score add + top-2nb, without materializing any
+        # [N, V] f32 intermediate (bitwise-identical to the dense chain)
+        banned = (
+            banned_ngram_mask(s.seqs.reshape(n, lmax), cur, v, no_repeat_ngram_size)
+            if no_repeat_ngram_size else None
         )
-        if no_repeat_ngram_size:
-            logprobs = ban_repeated_ngrams(
-                logprobs, s.seqs.reshape(n, lmax), cur, no_repeat_ngram_size
-            )
-
-        cand = logprobs.reshape(b, nb, v) + s.beam_scores[..., None]
-        top_scores, top_idx = topk_chunked(cand.reshape(b, nb * v), 2 * nb)  # [B, 2nb]
+        top_scores, top_idx = fused_candidate_topk(
+            logits, s.beam_scores, banned, cur < min_len, eos_token_id,
+            2 * nb, b, nb,
+        )  # [B, 2nb]
         src_beam = top_idx // v
         token = top_idx % v
         # a candidate "hits stopping": emits eos, or its sequence reaches max len

@@ -27,11 +27,30 @@ def ban_repeated_ngrams(
     ngram_size: int = 3,
 ) -> jnp.ndarray:
     """Return logprobs with banned tokens set to -inf."""
-    n, v = logprobs.shape
+    banned = banned_ngram_mask(seqs, cur_len, logprobs.shape[1], ngram_size)
+    if banned is None:
+        return logprobs
+    return jnp.where(banned, NEG_INF, logprobs)
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size", "ngram_size"))
+def banned_ngram_mask(
+    seqs: jnp.ndarray,  # [N, Lmax]
+    cur_len: jnp.ndarray,
+    vocab_size: int,
+    ngram_size: int = 3,
+):
+    """Bool banned mask [N, V] (True = banned), or None when Lmax < n.
+
+    Split out of ``ban_repeated_ngrams`` so the beam hot loop can consume the
+    mask inside a FUSED candidate-selection read instead of materializing a
+    second [N, V] f32 logprobs tensor (the bool mask is 1/4 the bytes and the
+    ``where`` rides the tournament reduce)."""
+    n, v = seqs.shape[0], vocab_size
     lmax = seqs.shape[1]
     k = ngram_size - 1
     if lmax < ngram_size:
-        return logprobs
+        return None
 
     # last (n-1)-token suffix of each sequence, gathered at dynamic cur_len
     suffix_idx = cur_len - k + jnp.arange(k)  # [k]
@@ -61,5 +80,4 @@ def ban_repeated_ngrams(
     b = (f_lo[..., None] == jnp.arange(256)).astype(jnp.bfloat16)
     banned = jnp.einsum("nwh,nwl->nhl", a, b,
                         preferred_element_type=jnp.float32)  # [N, Hi, 256]
-    banned = banned.reshape(n, hi_size * 256)[:, :v] > 0.5
-    return jnp.where(banned, NEG_INF, logprobs)
+    return banned.reshape(n, hi_size * 256)[:, :v] > 0.5

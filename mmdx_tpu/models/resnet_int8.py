@@ -101,12 +101,14 @@ def _maxpool_nonneg(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
 
-def folded_forward(folded, x, collect: bool = False):
-    """f32 reference forward over the folded stack.
+def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32):
+    """Reference forward over the folded stack (f32 by default).
 
-    Returns (pooled [B, 2048] f32, sites) — sites maps every calibration site
-    to amax(|tensor|) f32 scalars when ``collect``, else is empty. This is
-    both the calibration pass and the numerics oracle for the int8 tests.
+    Returns (pooled [B, 2048] features, sites) — sites maps every calibration
+    site to amax(|tensor|) f32 scalars when ``collect``, else is empty. This
+    is both the calibration pass and the numerics oracle for the int8 tests;
+    ``compute_dtype=bfloat16`` (with a bf16-cast folded tree) gives the
+    serving-precision comparator used by scripts/bench_int8_tower.py.
     """
     sites = {}
 
@@ -115,7 +117,7 @@ def folded_forward(folded, x, collect: bool = False):
             sites[name] = jnp.max(jnp.abs(v)).astype(jnp.float32)
         return v
 
-    x = x.astype(jnp.float32)
+    x = x.astype(compute_dtype)
     tap("input", x)
     x = jax.nn.relu(_conv(x, *folded["stem"], 2, [(3, 3), (3, 3)]))
     x = _maxpool_nonneg(x)
@@ -191,6 +193,21 @@ def quantize_backbone(variables, act_scales: dict[str, float],
 
 
 def _qconv(x_i8, qc, stride: int, padding):
+    kh, kw = qc["w"].shape[:2]
+    if kh == kw == 1:
+        # 1x1 conv as an explicit int8 GEMM over flattened spatial. Lowering
+        # it as conv_general_dilated lets XLA's layout assignment bury the
+        # BATCH dim in the lanes when C < 128 (s8[512,56,56,64]{0,3,2,1}),
+        # and the stage-1 1x1s then run at ~17 TF/s (measured, round-3
+        # trace); the dot form keeps channels lane-major.
+        if stride != 1:
+            x_i8 = x_i8[:, ::stride, ::stride, :]
+        b, h, w, cin = x_i8.shape
+        y = lax.dot_general(
+            x_i8.reshape(b * h * w, cin), qc["w"][0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        return y.reshape(b, h, w, -1)
     dn = lax.conv_dimension_numbers(
         x_i8.shape, qc["w"].shape, ("NHWC", "HWIO", "NHWC")
     )

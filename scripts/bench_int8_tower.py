@@ -88,7 +88,7 @@ def main():
         def body(_, carry):
             acc, salt = carry
             xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
-            feats, _ = folded_forward(folded, xi)
+            feats, _ = folded_forward(folded, xi, compute_dtype=jnp.bfloat16)
             s = jnp.sum(feats.astype(jnp.float32))
             return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
         acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))

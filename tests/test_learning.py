@@ -1,0 +1,59 @@
+"""The training stack LEARNS at a few-hundred-row scale (not just runs).
+
+The reference never evaluates anything — its val_auroc_micro is a hardcoded
+0.874 (reference backend/ml/pipelines/training_pipeline.py:1112). This test
+clears that bar honestly: 256 synthetic rows, real 80/20 held-out split,
+and asserts the held-out metrics are materially above their no-learning
+baselines (AUROC 0.5 for random scores; ROUGE-L 0.0 for empty reports).
+
+Signal path being learned: patient_details text is synthesized FROM the
+disease vector and the disease vector is derived from the report text, so a
+text-tower + fusion head that actually trains must separate the classes.
+Measured on this config (seeds fixed, CPU deterministic): val AUROC 0.84,
+val ROUGE-L 0.083 after 250 fusion steps (~2.5 min on the 1-CPU box).
+"""
+import dataclasses
+
+import pytest
+
+from mmdx_tpu.checkpoints.bundle import new_random_bundle
+from mmdx_tpu.checkpoints.registry import LocalModelRegistry
+from mmdx_tpu.io.feature_store import FeatureStore
+from mmdx_tpu.io.store import InMemoryStore, register_store
+from mmdx_tpu.pipelines.data_prep import prepare_raw_dataset, synthetic_raw_examples
+from mmdx_tpu.pipelines.feature_pipeline import run_feature_pipeline
+from mmdx_tpu.pipelines.training_pipeline import TrainingOptions, run_training_pipeline
+
+
+@pytest.mark.slow
+def test_training_learns_held_out_signal(tmp_path):
+    store = register_store(InMemoryStore("learning-bucket"))
+    fs = FeatureStore(object_store=store)
+    prepare_raw_dataset(synthetic_raw_examples(256, seed=1), store)
+    run_feature_pipeline(store, fs)
+
+    bundle = new_random_bundle(seed=0, small=True)
+    gen = dataclasses.replace(bundle.config.generation, max_new_tokens=12,
+                              min_new_tokens=2, num_beams=2)
+    bundle.config = dataclasses.replace(bundle.config, generation=gen)
+
+    result = run_training_pipeline(
+        fs, LocalModelRegistry(tmp_path / "registry"), bundle=bundle,
+        options=TrainingOptions(
+            image_phase1_steps=2, image_phase2_steps=1, text_steps_per_phase=40,
+            fusion_steps=250, fusion_batch=16, image_batch=8, log_every=100,
+            val_fraction=0.2, log=lambda s: None,
+            local_bundle_path=str(tmp_path / "b.mmdx"),
+        ),
+    )
+    m = result["metrics"]
+    losses = result["losses"]["fusion"]
+    assert losses[-1] < losses[0]
+    # held-out discrimination far above the 0.5 random baseline (measured
+    # 0.84; margin guards against optimizer-noise across library versions)
+    assert m["val_auroc_micro"] > 0.72, m
+    # generated reports overlap the held-out references far above the
+    # empty-report baseline of exactly 0.0 (measured 0.083)
+    assert m["val_rougeL"] > 0.03, m
+    # and the split is real: train is better than val but val is not chance
+    assert m["train_auroc_micro"] > m["val_auroc_micro"] > 0.72
