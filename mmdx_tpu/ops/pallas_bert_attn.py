@@ -93,9 +93,17 @@ def fused_attention_block(x, kmask, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
     head_dim = hidden // num_heads
     assert m % seq_len == 0, (m, seq_len)
     # R must be a multiple of seq_len (whole images per block) AND of 128
-    # (the kmask block's lane dim); ~384-512 rows balances MXU shape vs VMEM
+    # (the kmask block's lane dim). Larger R = better-shaped projection
+    # matmuls but quadratically more block-diagonal score waste ([R, R] vs
+    # G*[L, L]); on-chip sweep (scripts/bench_bert_attn_rows.py, v5e-1,
+    # B=512 L=32): R=128 6.86ms/12 layers, 256 7.03, 384 9.41, 512 9.40,
+    # 768 11.0 — score waste dominates, so default to the smallest legal R.
+    # MMDX_BERT_ATTN_ROWS retargets it.
+    import os
+
+    target = int(os.environ.get("MMDX_BERT_ATTN_ROWS", "128"))
     base = math.lcm(seq_len, 128)
-    r = base * max(1, 384 // base)
+    r = base * max(1, target // base)
     pad = -m % r
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
