@@ -21,7 +21,11 @@ Scheme (standard static PTQ, symmetric):
     requant is a fused f32 epilogue on the int32 conv output (XLA fuses it
     into the convolution, nothing f32 touches HBM).
   * Residual adds run in the f32 epilogue of conv3 (shortcut dequantized
-    elementwise from the block-input int8), then requantize.
+    elementwise from the block-input int8), then requantize. In downsample
+    blocks the shortcut conv requantizes to int8 at its own calibrated scale
+    ("<block>.short") first: XLA output fusion holds at most one dot/conv
+    root, so joining two f32 products in one epilogue forces one dot's s32
+    accumulator through HBM (measured 10.5 ms/batch across the four joins).
   * The final pooled [B, 2048] features return in f32; the projection head
     and everything downstream stay in the engine's normal dtype.
 
@@ -54,8 +58,13 @@ def _block_names():
 
 def calibration_sites() -> list[str]:
     sites = ["input", "stem"]
-    for name, _, _ in _block_names():
+    for name, _, block in _block_names():
         sites += [f"{name}.a1", f"{name}.a2", f"{name}.out"]
+        if block == 0:
+            # downsample shortcut requant point (see int8_backbone_apply:
+            # XLA can output-fuse only ONE dot per epilogue, so the shortcut
+            # quantizes separately instead of riding f32/s32 through HBM)
+            sites.append(f"{name}.short")
     return sites
 
 
@@ -130,7 +139,11 @@ def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32):
         a2 = jax.nn.relu(_conv(a1, *d["conv2"], stride, [(1, 1), (1, 1)]))
         tap(f"{name}.a2", a2)
         y = _conv(a2, *d["conv3"], 1, "SAME")
-        short = _conv(x, *d["down"], stride, "SAME") if "down" in d else x
+        if "down" in d:
+            short = _conv(x, *d["down"], stride, "SAME")
+            tap(f"{name}.short", short)
+        else:
+            short = x
         x = jax.nn.relu(y + short)
         tap(f"{name}.out", x)
     return jnp.mean(x, axis=(1, 2)), sites
@@ -256,8 +269,17 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
         main = _qconv(ai, d["conv3"], 1, "SAME").astype(jnp.float32)
         main = main * (s2 * d["conv3"]["ws"]) + d["conv3"]["b"]
         if "down" in d:
+            # Requantize the shortcut to int8 at its own calibrated scale so
+            # each dot owns a fused requant epilogue. XLA output fusion holds
+            # at most ONE dot/conv root: joining both products in f32 forces
+            # one of them to materialize its s32 accumulator to HBM (round-3
+            # trace: 10.5 ms across the four downsample joins at B=512).
+            ss = sc[f"{name}.short"]
             short = _qconv(xi, d["down"], stride, "SAME").astype(jnp.float32)
-            short = short * (sx * d["down"]["ws"]) + d["down"]["b"]
+            short_i8 = _requant(
+                short * (sx * d["down"]["ws"]) + d["down"]["b"], ss
+            )
+            short = short_i8.astype(jnp.float32) * ss
         else:
             short = xi.astype(jnp.float32) * sx
         y = jax.nn.relu(main + short)

@@ -255,6 +255,10 @@ class InferenceEngine:
 
             cfg = self.bundle.config.image
             scales = (self.bundle.metadata or {}).get("int8_scales")
+            if scales and set(ri.calibration_sites()) - set(scales):
+                # bundle calibrated under an older site schema (e.g. before
+                # the downsample-shortcut requant points): recalibrate
+                scales = None
             if not scales:
                 imgs = jnp.asarray(images)
                 if imgs.dtype == jnp.uint8:

@@ -69,6 +69,9 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 512
     do_trace = "--trace" in sys.argv
+    skip_bf16 = "--nobf16" in sys.argv
+    tag = "current"
+    apply_fn = int8_backbone_apply
     bundle = new_random_bundle(seed=0)
     v = jax.device_put(bundle.variables)
     rng = np.random.default_rng(0)
@@ -99,7 +102,7 @@ def main():
         def body(_, carry):
             acc, salt = carry
             xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
-            feats = int8_backbone_apply(q, xi)
+            feats = apply_fn(q, xi)
             s = jnp.sum(feats.astype(jnp.float32))
             return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
         acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
@@ -124,12 +127,13 @@ def main():
 
     wait = x.astype  # noqa: keep x alive
 
-    t_bf16 = timed(loop_bf16, bp, bs, x)
-    print(f"[i8tower] bf16 folded tower: {t_bf16 * 1e3:.2f} ms/batch",
-          file=sys.stderr, flush=True)
+    if not skip_bf16:
+        t_bf16 = timed(loop_bf16, bp, bs, x)
+        print(f"[i8tower] bf16 folded tower: {t_bf16 * 1e3:.2f} ms/batch",
+              file=sys.stderr, flush=True)
     t_i8 = timed(loop_int8, q, x)
-    print(f"[i8tower] int8 turbo tower: {t_i8 * 1e3:.2f} ms/batch "
-          f"({t_bf16 / t_i8:.2f}x)", file=sys.stderr, flush=True)
+    print(f"[i8tower] int8 turbo tower ({tag}): {t_i8 * 1e3:.2f} ms/batch",
+          file=sys.stderr, flush=True)
 
     if do_trace:
         log_dir = "/tmp/mmdx_i8_trace"
