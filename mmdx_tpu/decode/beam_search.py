@@ -102,9 +102,19 @@ def topk_chunked(x: jnp.ndarray, k: int, chunk: int = 512):
 
 
 def _chunk_divisor(v: int, lo: int = 128, hi: int = 1024, target: int = 512):
-    """Largest-|target-c| divisor of v in [lo, hi], or None (dense fallback).
-    V=32128 = 2^7 * 251 -> 502: the reshape is free (no pad copy) and 64
-    chunks per row keep the first-stage cmax tensor tiny."""
+    """Chunk width for the two-stage candidate top-k, or None (dense path).
+
+    The chunk MUST be lane-aligned (a multiple of 128): the stage-1 reshape
+    [N, V] -> [N, V/chunk, chunk] is free metadata only when the new minor
+    dim keeps the (8, 128) tiling — chunk=502 (an early choice; 32128 =
+    2^7 * 251) made XLA physically retile the f32 [N, V] tensor, ~130 us/step
+    of pure copies in the round-3 beam trace. V=32128 -> chunk=128, c=251.
+    Among aligned divisors prefer the one nearest ``target``; fall back to
+    any divisor in [lo, hi] only if no aligned one exists (then the caller
+    eats the relayout, still cheaper than the dense path for huge V)."""
+    aligned = [c for c in range(128, hi + 1, 128) if v % c == 0]
+    if aligned:
+        return min(aligned, key=lambda c: abs(c - target))
     best = None
     for c in range(lo, hi + 1):
         if v % c == 0 and (best is None or abs(c - target) < abs(best - target)):

@@ -78,6 +78,9 @@ def banned_ngram_mask(
     m16 = match.astype(jnp.bfloat16)
     a = (f_hi[..., None] == jnp.arange(hi_size)).astype(jnp.bfloat16) * m16[..., None]
     b = (f_lo[..., None] == jnp.arange(256)).astype(jnp.bfloat16)
+    # bf16 output halves the [N, Hi, 256] HBM write+read (the MXU still
+    # accumulates in f32); counts are bounded by W < 256, so every value is
+    # exactly representable and the > 0.5 threshold is unchanged
     banned = jnp.einsum("nwh,nwl->nhl", a, b,
-                        preferred_element_type=jnp.float32)  # [N, Hi, 256]
+                        preferred_element_type=jnp.bfloat16)  # [N, Hi, 256]
     return banned.reshape(n, hi_size * 256)[:, :v] > 0.5

@@ -130,6 +130,24 @@ class T5Attention(nn.Module):
     def project_kv(self, kv_hidden):
         return self._split(self.k(kv_hidden)), self._split(self.v(kv_hidden))
 
+    def cross_step(self, y, ck, cv, enc_bias):
+        """One-token cross-attention without the [N,1,D] <-> [N,h,1,d]
+        transposes ``_split``/``_merge`` emit (each lowered to a real copy —
+        ~3 ops x 6 layers of fixed dispatch per decode step in the round-3
+        trace).  y [N,1,D]; ck/cv [N,h,K,d] (loop constants); enc_bias
+        [N,1,1,K] additive. Same contractions/softmax as ``attend`` — the
+        head split here is a free minor-dim reshape."""
+        h, d = self.config.num_heads, self.config.d_kv
+        n = y.shape[0]
+        q = self.q(y).reshape(n, h, d)
+        scores = jnp.einsum("nhd,nhkd->nhk", q, ck,
+                            preferred_element_type=jnp.float32)
+        scores = scores + enc_bias[:, 0, :, :]  # [N,1,K] broadcast over heads
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("nhk,nhkd->nhd", probs, cv,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return self.o(ctx.reshape(n, 1, h * d))
+
     def step(self, hidden_tok, cache_k, cache_v, pos, bias_row):
         """One-token self-attention step.
 
@@ -145,14 +163,16 @@ class T5Attention(nn.Module):
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
         return self.o(out), cache_k, cache_v
 
-    def step_beam(self, hidden_tok, cache_k, cache_v, pos, mask, bias_k):
+    def step_beam(self, hidden_tok, cache_kv, pos, mask, bias_k):
         """One-token beam self-attention over a PHYSICAL (never reordered)
         cache, resolving beam histories through a precomputed ancestry mask.
 
-        hidden_tok: [N,1,D] with N = B*nb; cache_{k,v}: [B, nb*Lmax, h*d_kv]
+        hidden_tok: [N,1,D] with N = B*nb; cache_kv: [B, nb*Lmax, 2*h*d_kv]
         in POSITION-MAJOR flat layout (built by ``init_cache(...,
-        beam_width=nb)``): row ``t*nb + j`` holds the K/V written at step t by
-        physical slot j.  mask: [B, nb, nb*Lmax] f32 additive ancestry mask
+        beam_width=nb)``): row ``t*nb + j`` holds the K and V (packed k|v in
+        the minor dim — one buffer, one dynamic_update_slice per step; the
+        separate-k/v form cost ~21 us of fixed dispatch per extra update in
+        the round-3 trace) written at step t by physical slot j.  mask: [B, nb, nb*Lmax] f32 additive ancestry mask
         (non-ancestor rows -inf) and bias_k: [heads, nb*Lmax] f32 relative/
         causal bias, both computed ONCE per step in ``T5.decode_step_beam``
         (they depend only on (anc, pos); recomputing per layer was waste).
@@ -171,22 +191,24 @@ class T5Attention(nn.Module):
         """
         b, nb, kk = mask.shape
         h, d = self.config.num_heads, self.config.d_kv
+        hd = h * d
         n = b * nb
 
-        q = self.q(hidden_tok).reshape(b, nb, h * d)
-        k_new = self.k(hidden_tok).reshape(b, nb, h * d)
-        v_new = self.v(hidden_tok).reshape(b, nb, h * d)
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos * nb, axis=1)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos * nb, axis=1)
+        q = self.q(hidden_tok).reshape(b, nb, hd)
+        k_new = self.k(hidden_tok).reshape(b, nb, hd)
+        v_new = self.v(hidden_tok).reshape(b, nb, hd)
+        cache_kv = jax.lax.dynamic_update_slice_in_dim(
+            cache_kv, jnp.concatenate([k_new, v_new], axis=-1), pos * nb, axis=1
+        )
 
         if self.config.use_fused_beam_attn:
             from mmdx_tpu.ops.pallas_beam_attn import beam_decode_attention
 
-            ctx = beam_decode_attention(q, cache_k, cache_v, mask, bias_k)
-            return self.o(ctx.reshape(n, 1, h * d)), cache_k, cache_v
+            ctx = beam_decode_attention(q, cache_kv, mask, bias_k)
+            return self.o(ctx.reshape(n, 1, h * d)), cache_kv
 
-        kh = cache_k.reshape(b, kk, h, d)  # free minor-dim split
-        vh = cache_v.reshape(b, kk, h, d)
+        kh = cache_kv[..., : h * d].reshape(b, kk, h, d)
+        vh = cache_kv[..., h * d:].reshape(b, kk, h, d)
         scores = jnp.einsum(
             "bihd,bkhd->bhik", q.reshape(b, nb, h, d), kh,
             preferred_element_type=jnp.float32,
@@ -196,7 +218,7 @@ class T5Attention(nn.Module):
         ctx = jnp.einsum(
             "bhik,bkhd->bihd", probs, vh, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        return self.o(ctx.reshape(n, 1, h * d)), cache_k, cache_v
+        return self.o(ctx.reshape(n, 1, h * d)), cache_kv
 
 
 class T5FFN(nn.Module):
@@ -267,9 +289,9 @@ class T5DecoderLayer(nn.Module):
         attn, k_, v_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
-        q = self.cross_attn._split(self.cross_attn.q(y))
-        ctx = self.cross_attn.attend(q, static_kv["ck"], static_kv["cv"], enc_bias)
-        hidden_tok = hidden_tok + self.cross_attn.o(self.cross_attn._merge(ctx))
+        hidden_tok = hidden_tok + self.cross_attn.cross_step(
+            y, static_kv["ck"], static_kv["cv"], enc_bias
+        )
         y = self.ffn_ln(hidden_tok)
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
         return hidden_tok, {"k": k_, "v": v_}
@@ -280,17 +302,17 @@ class T5DecoderLayer(nn.Module):
         see ``T5Attention.step_beam``. Cross-attention needs no ancestry: all
         beams of a sample share identical encoder K/V."""
         y = self.self_ln(hidden_tok)
-        attn, k_, v_ = self.self_attn.step_beam(
-            y, cache["k"], cache["v"], pos, mask, bias_k
+        attn, kv_ = self.self_attn.step_beam(
+            y, cache["kv"], pos, mask, bias_k
         )
         hidden_tok = hidden_tok + attn
         y = self.cross_ln(hidden_tok)
-        q = self.cross_attn._split(self.cross_attn.q(y))
-        ctx = self.cross_attn.attend(q, static_kv["ck"], static_kv["cv"], enc_bias)
-        hidden_tok = hidden_tok + self.cross_attn.o(self.cross_attn._merge(ctx))
+        hidden_tok = hidden_tok + self.cross_attn.cross_step(
+            y, static_kv["ck"], static_kv["cv"], enc_bias
+        )
         y = self.ffn_ln(hidden_tok)
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
-        return hidden_tok, {"k": k_, "v": v_}
+        return hidden_tok, {"kv": kv_}
 
 
 class T5(nn.Module):
@@ -390,25 +412,29 @@ class T5(nn.Module):
         and static_kv holds the precomputed cross-attention K/V over the
         encoder outputs (loop constants).
 
-        ``beam_width=None``: cache leaves are [batch, heads, max_len, d_kv]
-        (for ``decode_step`` — greedy, or gather-mode beam search).
-        ``beam_width=nb``: BEAM layout [batch/nb, nb*max_len, heads*d_kv],
-        position-major flat (row t*nb + j = slot j's write at step t) with
-        heads fused in the minor dim (see ``T5Attention.step_beam``), for
-        ``decode_step_beam`` (ancestry mode; never reordered)."""
+        ``beam_width=None``: cache leaves are {k, v} [batch, heads, max_len,
+        d_kv] (for ``decode_step`` — greedy, or gather-mode beam search).
+        ``beam_width=nb``: BEAM layout {kv} [batch/nb, nb*max_len,
+        2*heads*d_kv], position-major flat (row t*nb + j = slot j's write at
+        step t) with heads AND k|v fused in the minor dim (see
+        ``T5Attention.step_beam``), for ``decode_step_beam`` (ancestry mode;
+        never reordered)."""
         cfg = self.config
         cache = []
         static_kv = []
         if beam_width:
             assert batch % beam_width == 0, (batch, beam_width)
             shape = (batch // beam_width, beam_width * max_len,
-                     cfg.num_heads * cfg.d_kv)
+                     2 * cfg.num_heads * cfg.d_kv)
         else:
             shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
         for layer in self.decoder_layers:
             ck, cv = layer.cross_attn.project_kv(encoder_hidden)
             zeros = jnp.zeros(shape, self.dtype)
-            cache.append({"k": zeros, "v": zeros})
+            if beam_width:
+                cache.append({"kv": zeros})
+            else:
+                cache.append({"k": zeros, "v": zeros})
             static_kv.append({"ck": ck, "cv": cv})
         return cache, static_kv
 
@@ -459,7 +485,7 @@ class T5(nn.Module):
         ancestry/bias slices follow, and the causal bias row masks every
         not-yet-written key, so segmenting is output-invariant."""
         b, nb, lmax = anc.shape
-        cap = cache[0]["k"].shape[1] // nb  # key positions in this segment
+        cap = cache[0]["kv"].shape[1] // nb  # key positions in this segment
         hidden = self.shared(token_ids)  # [N,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)
         bias_row = bias_row[..., :cap]

@@ -32,25 +32,29 @@ NEG_INF = -1e9
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def beam_decode_attention(q, k, v, mask, bias, interpret: bool = False):
-    """q [B, nb, h*d], k/v [B, K, h*d] (flat, position-major), mask [B, nb, K]
-    f32 additive (0 / -inf), bias [h, K] f32 additive -> ctx [B, nb, h*d].
+def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
+    """q [B, nb, h*d], kv [B, K, 2*h*d] (flat, position-major, K rows packed
+    as k|v in the minor dim — ONE buffer so the decode step issues one
+    dynamic_update_slice instead of two), mask [B, nb, K] f32 additive
+    (0 / -inf), bias [h, K] f32 additive -> ctx [B, nb, h*d].
 
     Contraction is per head: out[b, i, h*d:h*d+d] = softmax_k(q_h . k_h + bias
-    [h] + mask[b, i]) . v_h.  dtype of q/k/v is preserved (softmax in f32).
+    [h] + mask[b, i]) . v_h.  dtype of q/kv is preserved (softmax in f32).
     """
-    b, nb, hd = q.shape
-    _, kk, _ = k.shape
+    b, nb, hd2 = kv.shape[0], q.shape[1], kv.shape[2]
+    hd = hd2 // 2
+    _, kk, _ = kv.shape
     h = bias.shape[0]
     d = hd // h
     assert h * d == hd, (h, d, hd)
 
-    def kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref):
+    def kernel(q_ref, kv_ref, mask_ref, bias_ref, out_ref):
         gb = q_ref.shape[0]
         rq, rk = gb * nb, gb * kk
         q_all = q_ref[...].reshape(rq, hd)
-        k_all = k_ref[...].reshape(rk, hd)
-        v_all = v_ref[...].reshape(rk, hd)
+        kv_all = kv_ref[...].reshape(rk, 2 * hd)
+        k_all = kv_all[:, :hd]
+        v_all = kv_all[:, hd:]
         # block-diagonal sample mask + per-sample ancestry mask, tiled so
         # diagonal blocks line up (off-diagonal contributions are -inf and
         # vanish in the softmax — exact per-sample attention)
@@ -94,8 +98,7 @@ def beam_decode_attention(q, k, v, mask, bias, interpret: bool = False):
         grid=(b // gb,),
         in_specs=[
             pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, kk, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, kk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, kk, 2 * hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0)),
             full((h, kk)),
         ],
@@ -104,4 +107,4 @@ def beam_decode_attention(q, k, v, mask, bias, interpret: bool = False):
         # in+out double-buffers exceed the 16MB default scoped cap at gb>2
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(q, k, v, mask, bias)
+    )(q, kv, mask, bias)

@@ -41,7 +41,7 @@ def test_beam_attn_kernel_matches_einsum(dtype):
 
     ref = _xla_reference(q, k, v, mask, bias, h)
     with pltpu.force_tpu_interpret_mode():
-        out = beam_decode_attention(q, k, v, mask, bias)
+        out = beam_decode_attention(q, jnp.concatenate([k, v], -1), mask, bias)
     tol = 1e-5 if dtype == jnp.float32 else 3e-2
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
