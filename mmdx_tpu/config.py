@@ -133,6 +133,11 @@ class ReportDecoderConfig:
     # the XLA einsum relayouts the whole cache in HBM every step. Compiled-
     # Pallas is TPU-only; the engine flips this on in fast mode.
     use_fused_beam_attn: bool = False
+    # Pallas fused cross-attention + FFN decoder half-step
+    # (ops/pallas_t5_step): one dispatch per layer instead of ~20 tiny XLA
+    # ops (~290 us/step of the round-3 beam budget). TPU-only; engine fast
+    # mode enables it.
+    use_fused_cross_ffn: bool = False
 
 
 @dataclass(frozen=True)

@@ -169,11 +169,20 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
         return topk_chunked(adjusted.reshape(b, nb * v), k)
 
     c = v // chunk
-    # stage 1: per-chunk max of the adjusted values — the elementwise chain
-    # fuses into this single read of the logits
-    adjusted_full = adjust(x32, banned, eos_col, m[:, None], L[:, None],
-                           s_row[:, None])
-    cmax = jnp.max(adjusted_full.reshape(n, c, chunk), axis=-1)  # [N, C]
+    # stage 1: per-chunk max in the LOGITS' OWN dtype, transformed to the
+    # adjusted scale afterwards. t_r(x) = ((x - m_r) - L_r) + s_r is
+    # monotone in f32 (sub/add preserve <=) and row-constant, so
+    # max(t_r(masked)) == t_r(max(masked)) BITWISE: the chunk winner is the
+    # same element and t_r applied to it is the same f32 op sequence the
+    # dense path runs. Building t_r(x) elementwise instead cost a full f32
+    # [N, V] materialization + a 33 MB relayout for the chunk reduce
+    # (~145 us/step, round-3 trace); this form reads the bf16 logits once.
+    neg = jnp.asarray(-jnp.inf, logits.dtype)
+    masked_b = jnp.where(mask_eos & eos_col, neg, logits)
+    if banned is not None:
+        masked_b = jnp.where(banned, neg, masked_b)
+    cmax_raw = jnp.max(masked_b.reshape(n, c, chunk), axis=-1)  # [N, C]
+    cmax = ((cmax_raw.astype(jnp.float32) - m[:, None]) - L[:, None]) + s_row[:, None]
     # stage 2: top-k chunks per BATCH row (beam-major == global order), then
     # re-derive the adjusted values on just those k*chunk columns
     _, cidx = topk_small(cmax.reshape(b, nb * c), k)  # [B, k] global chunk ids

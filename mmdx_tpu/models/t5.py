@@ -277,6 +277,33 @@ class T5DecoderLayer(nn.Module):
         hidden = hidden + self.ffn_wo(nn.relu(self.ffn_wi(y)))
         return hidden
 
+    def _cross_ffn_fused(self, hidden_tok, static_kv, enc_bias):
+        """Route the cross-attention + FFN half-step through the single
+        Pallas program (ops/pallas_t5_step). hidden_tok [N,1,D] -> [N,1,D]."""
+        from mmdx_tpu.ops.pallas_t5_step import cross_ffn_block
+
+        h, d = self.config.num_heads, self.config.d_kv
+        n = hidden_tok.shape[0]
+        ck = static_kv["ck"]  # [N, h, K, d]
+        kk = ck.shape[2]
+        # loop-invariant relayout to [N, K, h*d] (hoisted out of the decode
+        # while-loop: static_kv is a loop constant)
+        ck2 = ck.transpose(0, 2, 1, 3).reshape(n, kk, h * d)
+        cv2 = static_kv["cv"].transpose(0, 2, 1, 3).reshape(n, kk, h * d)
+        out = cross_ffn_block(
+            hidden_tok[:, 0, :],
+            self.cross_ln.variables["params"]["scale"],
+            self.cross_attn.q.variables["params"]["kernel"],
+            self.cross_attn.o.variables["params"]["kernel"],
+            ck2, cv2,
+            enc_bias[:, 0, 0, :],
+            self.ffn_ln.variables["params"]["scale"],
+            self.ffn_wi.variables["params"]["kernel"],
+            self.ffn_wo.variables["params"]["kernel"],
+            heads=h, eps=self.config.layer_norm_eps,
+        )
+        return out[:, None, :]
+
     def step(self, hidden_tok, cache, static_kv, pos, self_bias_row, enc_bias):
         """One-token decode step.
 
@@ -288,6 +315,9 @@ class T5DecoderLayer(nn.Module):
         y = self.self_ln(hidden_tok)
         attn, k_, v_ = self.self_attn.step(y, cache["k"], cache["v"], pos, self_bias_row)
         hidden_tok = hidden_tok + attn
+        if self.config.use_fused_cross_ffn:
+            return self._cross_ffn_fused(hidden_tok, static_kv, enc_bias), {
+                "k": k_, "v": v_}
         y = self.cross_ln(hidden_tok)
         hidden_tok = hidden_tok + self.cross_attn.cross_step(
             y, static_kv["ck"], static_kv["cv"], enc_bias
@@ -306,6 +336,9 @@ class T5DecoderLayer(nn.Module):
             y, cache["kv"], pos, mask, bias_k
         )
         hidden_tok = hidden_tok + attn
+        if self.config.use_fused_cross_ffn:
+            return self._cross_ffn_fused(hidden_tok, static_kv, enc_bias), {
+                "kv": kv_}
         y = self.cross_ln(hidden_tok)
         hidden_tok = hidden_tok + self.cross_attn.cross_step(
             y, static_kv["ck"], static_kv["cv"], enc_bias

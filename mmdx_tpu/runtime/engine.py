@@ -100,6 +100,7 @@ class InferenceEngine:
                 # tests kept as a documented negative result.
                 report=dataclasses.replace(
                     model_config.report, use_fused_beam_attn=True,
+                    use_fused_cross_ffn=True,
                 ),
             )
         self.model_config = model_config
