@@ -358,28 +358,39 @@ def beam_search(
         new_src = jnp.take_along_axis(src_beam, sel, axis=1)
 
         # --- finished hypotheses: hit candidates among the top nb ranks ---
-        fin = (s.fin_seqs, s.fin_scores, s.fin_lens, s.n_fin)
-        pen = cur.astype(jnp.float32) ** length_penalty  # num generated incl. final token
-        for j in range(nb):
-            src_j = src_beam[:, j]
-            hyp = beam_gather_rows(s.seqs, src_j[:, None])[:, 0]
-            hyp = jax.lax.dynamic_update_slice_in_dim(
-                hyp, token[:, j : j + 1].astype(jnp.int32), cur, axis=1
-            )
-            do = hits[:, j] & ~frozen
-            fin = _insert_hyp(
-                *fin, hyp, top_scores[:, j] / pen,
-                jnp.broadcast_to(cur + 1, (b,)), do,
-            )
-        fin_seqs, fin_scores, fin_lens, n_fin = fin
+        # The whole insert block is dead work while min-length masking keeps
+        # eos out of the candidates (steps 1..min_len-1, ~85% of the loop at
+        # the reference generation lengths) — lax.cond skips it then. The
+        # hit positions (lane-dim writes at dynamic ``cur``) use a fully
+        # vectorized iota==cur select: a true dynamic_update_slice on the
+        # LANE dim of [B, L] lowers near-serially (~10 us each at serving
+        # shapes, round-3 trace).
+        pos_lane = jnp.arange(lmax, dtype=jnp.int32)[None, :]  # [1, L]
+
+        def do_inserts(fin):
+            pen = cur.astype(jnp.float32) ** length_penalty
+            for j in range(nb):
+                src_j = src_beam[:, j]
+                hyp = beam_gather_rows(s.seqs, src_j[:, None])[:, 0]
+                hyp = jnp.where(pos_lane == cur, token[:, j : j + 1], hyp)
+                do = hits[:, j] & ~frozen
+                fin = _insert_hyp(
+                    *fin, hyp, top_scores[:, j] / pen,
+                    jnp.broadcast_to(cur + 1, (b,)), do,
+                )
+            return fin
+
+        fin_seqs, fin_scores, fin_lens, n_fin = jax.lax.cond(
+            jnp.any(hits[:, :nb] & ~frozen[:, None]), do_inserts,
+            lambda fin: fin, (s.fin_seqs, s.fin_scores, s.fin_lens, s.n_fin),
+        )
 
         # --- advance running beams (freeze batches with no output effect) ---
         new_src_eff = jnp.where(frozen[:, None], jnp.arange(nb)[None, :], new_src)
         gathered = beam_gather_rows(s.seqs, new_src_eff)
         step_tok = jnp.where(frozen[:, None], fill_value, new_tokens)
-        seqs2 = jax.lax.dynamic_update_slice_in_dim(
-            gathered, step_tok[..., None].astype(jnp.int32), cur, axis=2
-        )
+        seqs2 = jnp.where(pos_lane[None] == cur,
+                          step_tok[..., None].astype(jnp.int32), gathered)
         beam_scores2 = jnp.where(frozen[:, None], s.beam_scores, new_scores)
 
         if ancestry:
@@ -387,9 +398,8 @@ def beam_search(
             # position cur-1's K/V was written this step by physical slot
             # new_src (the slot whose token was consumed).
             anc_g = beam_gather_rows(s.anc, new_src_eff)
-            anc2 = jax.lax.dynamic_update_slice_in_dim(
-                anc_g, new_src_eff[..., None].astype(jnp.int32), cur - 1, axis=2
-            )
+            anc2 = jnp.where(pos_lane[None] == cur - 1,
+                             new_src_eff[..., None].astype(jnp.int32), anc_g)
             cache2 = cache
         else:
             flat_idx = (jnp.arange(b)[:, None] * nb + new_src_eff).reshape(n)

@@ -235,6 +235,36 @@ def _requant(y_f32, s):
     return jnp.clip(jnp.round(y_f32 / s), -127, 127).astype(jnp.int8)
 
 
+def _s2d_stem_weights(w):
+    """Rearrange the int8 7x7 stride-2 stem kernel into its space-to-depth
+    form: a 4x4 STRIDE-1 kernel over 2x2-packed (12-channel) input.
+
+    Output row o of the stride-2 conv reads input rows i = 2o + ky - 3,
+    ky in [0, 7). In super-row coordinates (S[r] packs rows 2r, 2r+1):
+    r - o = (ky + 1) // 2 - 2 in {-2..1} and parity p = (ky + 1) % 2, so the
+    7 taps land in a 4x4 window with slot (kr=0, p=0) structurally zero.
+    Same multiplies, same s32 sums -> bit-exact, but the input tensor
+    presents 12 channels instead of 3 (XLA's int8 conv tiling pads C=3
+    ~3x; measured stem 2.03 ms at B=512, ~240 GB/s effective)."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (7, 7), (kh, kw)
+    w2 = jnp.zeros((4, 4, 4 * ci, co), w.dtype)
+    for ky in range(7):
+        kr, py = (ky + 1) // 2, (ky + 1) % 2
+        for kx in range(7):
+            kc, px = (kx + 1) // 2, (kx + 1) % 2
+            cbase = (py * 2 + px) * ci
+            w2 = w2.at[kr, kc, cbase:cbase + ci, :].set(w[ky, kx])
+    return w2
+
+
+def _space_to_depth2(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (p_y, p_x, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 def int8_backbone_apply(q, x) -> jnp.ndarray:
     """Preprocessed NHWC images (f32/bf16) -> pooled [B, 2048] f32 features.
 
@@ -247,7 +277,21 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
     xi = _requant(x.astype(jnp.float32), s_in)
 
     stem = q["stem"]
-    y = _qconv(xi, stem, 2, [(3, 3), (3, 3)]).astype(jnp.float32)
+    if xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0:
+        # bit-exact space-to-depth form of the 7x7 s2 stem (see
+        # _s2d_stem_weights); the s2d transpose fuses into the input
+        # requant, and the conv reads 12 channels instead of pad-heavy 3
+        xs = _space_to_depth2(xi)
+        w2 = {"w": _s2d_stem_weights(stem["w"])}
+        dn = lax.conv_dimension_numbers(
+            xs.shape, w2["w"].shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = lax.conv_general_dilated(
+            xs, w2["w"], (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        y = _qconv(xi, stem, 2, [(3, 3), (3, 3)]).astype(jnp.float32)
     y = jax.nn.relu(y * (s_in * stem["ws"]) + stem["b"])
     xi = _requant(y, sc["stem"])
     xi = _maxpool_nonneg(xi)  # int8 max; values >= 0 post-relu-requant

@@ -284,12 +284,13 @@ class T5DecoderLayer(nn.Module):
 
         h, d = self.config.num_heads, self.config.d_kv
         n = hidden_tok.shape[0]
-        ck = static_kv["ck"]  # [N, h, K, d]
-        kk = ck.shape[2]
-        # loop-invariant relayout to [N, K, h*d] (hoisted out of the decode
-        # while-loop: static_kv is a loop constant)
-        ck2 = ck.transpose(0, 2, 1, 3).reshape(n, kk, h * d)
-        cv2 = static_kv["cv"].transpose(0, 2, 1, 3).reshape(n, kk, h * d)
+        if "ck2" in static_kv:  # flat layout precomputed by init_cache
+            ck2, cv2 = static_kv["ck2"], static_kv["cv2"]
+        else:
+            ck = static_kv["ck"]  # [N, h, K, d]
+            kk = ck.shape[2]
+            ck2 = ck.transpose(0, 2, 1, 3).reshape(n, kk, h * d)
+            cv2 = static_kv["cv"].transpose(0, 2, 1, 3).reshape(n, kk, h * d)
         out = cross_ffn_block(
             hidden_tok[:, 0, :],
             self.cross_ln.variables["params"]["scale"],
@@ -468,7 +469,16 @@ class T5(nn.Module):
                 cache.append({"kv": zeros})
             else:
                 cache.append({"k": zeros, "v": zeros})
-            static_kv.append({"ck": ck, "cv": cv})
+            entry = {"ck": ck, "cv": cv}
+            if cfg.use_fused_cross_ffn:
+                # flat [N, K, h*d] layout for ops/pallas_t5_step, precomputed
+                # here: XLA declines to hoist the transpose out of the decode
+                # while-loop (~35 us/step across layers, round-3 trace)
+                entry["ck2"] = ck.transpose(0, 2, 1, 3).reshape(
+                    ck.shape[0], ck.shape[2], -1)
+                entry["cv2"] = cv.transpose(0, 2, 1, 3).reshape(
+                    cv.shape[0], cv.shape[2], -1)
+            static_kv.append(entry)
         return cache, static_kv
 
     def decode_self_bias(self, max_len: int):

@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# sweep overrides (scripts/bench_beam_attn_kernel.py); None = auto
+_FORCE_GB = None
+_FORCE_VMEM_MB = None
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
@@ -90,8 +94,9 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     # kernel latency-bound (~58% of HBM bw, and per-program time barely
     # scaled with K under segmented decode); packing gives [gb*nb, gb*K]
     # MXU-shaped tiles. FLOP waste is gb-fold on an op that is ~1% FLOPs.
-    gb = next(g for g in (8, 4, 2, 1)
-              if b % g == 0 and g * kk * hd * 2 * 2 <= 12 * 2**20)
+    gb = _FORCE_GB or next(g for g in (8, 4, 2, 1)
+                           if b % g == 0 and g * kk * hd * 2 * 2 <= 12 * 2**20)
+    vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(
         kernel,
@@ -105,6 +110,7 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
         out_specs=pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, hd), q.dtype),
         # in+out double-buffers exceed the 16MB default scoped cap at gb>2
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(q, kv, mask, bias)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Sweep ops/pallas_beam_attn.beam_decode_attention configs on the real chip.
+
+The round-3 trace shows the kernel at ~77% of the HBM roofline for
+kk<=640 but collapsing to 42% at the full kk=724 (286 us/call vs 120
+ideal, uniform across calls). This sweeps gb (samples packed per grid
+program) and the vmem cap at the suspect shapes to find the cliff.
+
+Usage: python scripts/bench_beam_attn_kernel.py
+"""
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mmdx_tpu.ops.pallas_beam_attn as pba
+
+    B, NB, H, D = 64, 4, 8, 64
+    HD = H * D
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    print(f"[sweep] device={jax.devices()[0].device_kind}", flush=True)
+
+    _salt = iter(range(1, 100000))
+
+    def timed(kk, gb, vmem_mb, lo=50, hi=850):
+        q = jnp.asarray(rng.standard_normal((B, NB, HD)) * 0.05, dt)
+        kv = jnp.asarray(rng.standard_normal((B, kk, 2 * HD)) * 0.05, dt)
+        mask = jnp.zeros((B, NB, kk), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((H, kk)), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(q, kv, mask, bias, salt, iters: int):
+            def body(i, carry):
+                q_i = q * (1 + (carry + i) * 1e-20).astype(dt)
+                out = pba.beam_decode_attention(q_i, kv, mask, bias)
+                return carry + jnp.sum(out.astype(jnp.float32)) * 1e-6
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        args = (q, kv, mask, bias)
+        float(loop(*args, jnp.int32(next(_salt)), lo))
+        float(loop(*args, jnp.int32(next(_salt)), hi))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter(); float(loop(*args, jnp.int32(next(_salt)), lo)); dl = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(loop(*args, jnp.int32(next(_salt)), hi)); dh = time.perf_counter() - t0
+            per = (dh - dl) / (hi - lo)
+            best = per if best is None else min(best, per)
+        return best
+
+    orig_pick = pba.beam_decode_attention
+    for kk in (640, 724, 728):
+        for gb_force, vmem in ((None, 48), (4, 48), (2, 48), (8, 96), (None, 96)):
+            # monkey-patch knobs via env-ish globals
+            pba._FORCE_GB = gb_force
+            pba._FORCE_VMEM_MB = vmem
+            try:
+                t = timed(kk, gb_force, vmem)
+                mb = B * kk * 2 * HD * 2 / 1e6
+                print(f"[sweep] kk={kk} gb={gb_force or 'auto'} vmem={vmem}MB: "
+                      f"{t*1e6:.1f} us/call ({mb/t/1e9*1e6:.0f} GB/s of {mb:.1f} MB)",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[sweep] kk={kk} gb={gb_force} vmem={vmem}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,31 @@ def test_int8_features_close_to_f32(bundle, images):
     assert rel < 0.10, rel
 
 
+def test_s2d_stem_bit_exact():
+    """The space-to-depth stem form must reproduce the direct 7x7 stride-2
+    int8 conv EXACTLY (same s32 sums, rearranged)."""
+    import jax.lax as lax
+
+    from mmdx_tpu.models.resnet_int8 import _s2d_stem_weights, _space_to_depth2
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.integers(-127, 128, (7, 7, 3, 64)), jnp.int8)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 32, 32, 3)), jnp.int8)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    direct = lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    xs = _space_to_depth2(x)
+    w2 = _s2d_stem_weights(w)
+    dn2 = lax.conv_dimension_numbers(xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+    s2d = lax.conv_general_dilated(
+        xs, w2, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn2,
+        preferred_element_type=jnp.int32,
+    )
+    assert np.array_equal(np.asarray(direct), np.asarray(s2d))
+
+
 def test_quantize_requires_all_sites(bundle, images):
     scales = calibrate_backbone(bundle.variables, images)
     scales.pop("stem")
