@@ -424,11 +424,34 @@ def beam_search(
     # average. Output-invariant: the causal bias row masks every
     # not-yet-written key, so a larger buffer never changes the math
     # (asserted vs the unsegmented run in tests/test_decode_parity.py).
-    caps = tuple(sorted({c for c in (segment_caps or ()) if 0 < c < lmax}))
+    #
+    # Alignment: every segment's flat row count nb*cap is rounded up to a
+    # multiple of 8 — a sublane-misaligned K dim drops the beam-attention
+    # cache read from ~940 to ~330 GB/s on v5e (scripts/
+    # bench_beam_attn_kernel.py: kk=724 vs 728). The padded rows are
+    # positions >= Lmax, masked by the causal bias (see decode_step_beam),
+    # so outputs are unchanged.
+    def _align(c: int) -> int:
+        while ancestry and (nb * c) % 8:
+            c += 1
+        return c
+
+    final = _align(lmax)
+    caps = tuple(sorted({_align(c) for c in (segment_caps or ())
+                         if 0 < c < lmax and _align(c) < final}))
     if caps and not ancestry:
         caps = ()  # segmenting is implemented for the ancestry layout only
-    caps = caps + (lmax,)
-    if len(caps) > 1:
+    caps = caps + (final,)
+    if ancestry:
+        rows0 = nb * caps[0]
+
+        def _fit(x):
+            if x.shape[1] >= rows0:
+                return x[:, :rows0]
+            return jnp.pad(x, ((0, 0), (0, rows0 - x.shape[1]), (0, 0)))
+
+        state = state._replace(cache=jax.tree.map(_fit, state.cache))
+    elif len(caps) > 1:
         state = state._replace(cache=jax.tree.map(
             lambda x: x[:, : nb * caps[0]], state.cache))
 

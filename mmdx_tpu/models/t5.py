@@ -532,11 +532,21 @@ class T5(nn.Module):
         hidden = self.shared(token_ids)  # [N,1,D]
         bias_row = jax.lax.dynamic_slice_in_dim(self_bias_full, pos, 1, axis=2)
         bias_row = bias_row[..., :cap]
+        if cap > lmax:
+            # alignment padding: the final segment's cache may carry a few
+            # rows past Lmax so nb*cap is a multiple of 8 (the flat-cache
+            # attention read runs ~3x faster 8-aligned; see beam_search).
+            # Padded keys are positions >= Lmax > any query pos -> the causal
+            # NEG_INF bias kills them, so this is output-invariant.
+            bias_row = jnp.pad(bias_row, ((0, 0),) * 3 + ((0, cap - lmax),),
+                               constant_values=NEG_INF)
         enc_bias = (1.0 - encoder_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
         # ancestry mask + bias, computed ONCE for all layers (identical across
         # them): position `pos` is this step's own write; row t*nb+j of the
         # position-major cache is live for query i iff anc_eff[b,i,t] == j
         anc_c = anc[:, :, :cap]
+        if cap > lmax:
+            anc_c = jnp.pad(anc_c, ((0, 0), (0, 0), (0, cap - lmax)))
         own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
         anc_eff = jnp.where(jnp.arange(cap)[None, None, :] == pos, own, anc_c)
         live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,C,j]

@@ -94,7 +94,10 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     # kernel latency-bound (~58% of HBM bw, and per-program time barely
     # scaled with K under segmented decode); packing gives [gb*nb, gb*K]
     # MXU-shaped tiles. FLOP waste is gb-fold on an op that is ~1% FLOPs.
-    gb = _FORCE_GB or next(g for g in (8, 4, 2, 1)
+    # gb=2 preferred: on-chip sweep at the 8-aligned kk=728 cache reads
+    # 777 GB/s at gb=2 vs 702/709 at gb=4/8 (scripts/
+    # bench_beam_attn_kernel.py, /tmp/sweep728.log round 3).
+    gb = _FORCE_GB or next(g for g in (2, 4, 8, 1)
                            if b % g == 0 and g * kk * hd * 2 * 2 <= 12 * 2**20)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
