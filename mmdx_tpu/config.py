@@ -138,6 +138,13 @@ class ReportDecoderConfig:
     # ops (~290 us/step of the round-3 beam budget). TPU-only; engine fast
     # mode enables it.
     use_fused_cross_ffn: bool = False
+    # int8 beam KV cache (ancestry layout only): K/V rows are quantized at
+    # write time with per-(row, head) scales and dequantized inside the
+    # attention read — the beam step's dominant HBM stream (the full cache,
+    # re-read per layer per step) halves. Outputs differ from bf16 at the
+    # quantization-noise level (guardrail: tests/test_kv_int8.py), so this
+    # is opt-in: the engine enables it in turbo mode only.
+    kv_cache_int8: bool = False
 
 
 @dataclass(frozen=True)

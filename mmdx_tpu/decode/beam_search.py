@@ -147,11 +147,15 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     [nb * V] candidate space (same contract as ``topk_chunked``).
     """
     n, v = logits.shape
-    x32 = logits.astype(jnp.float32)
     # m and L over the RAW logits (log_softmax runs before the mask in the
-    # reference chain); both reduces fuse over the bf16 tensor, no f32 copy
-    m = jnp.max(x32, axis=-1)
-    L = jnp.log(jnp.sum(jnp.exp(x32 - m[:, None]), axis=-1))
+    # reference chain). m via the bf16 max: float cast is monotone and exact,
+    # so cast(max(bf16)) == max(cast(bf16)) BITWISE — and with m no longer a
+    # consumer of an f32 [N, V] cast, the logsumexp chain is that tensor's
+    # only reader and XLA streams it instead of materializing it (the f32
+    # copy + its transposed relayout cost ~100 us/step, round-3 trace).
+    m = jnp.max(logits, axis=-1).astype(jnp.float32)
+    L = jnp.log(jnp.sum(jnp.exp(logits.astype(jnp.float32) - m[:, None]),
+                        axis=-1))
     s_row = beam_scores.reshape(n)
     eos_col = (jnp.arange(v) == eos_token_id)[None, :]
 
@@ -164,7 +168,7 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     chunk = _chunk_divisor(v)
     if chunk is None or v // chunk < 2 or n * v <= 1 << 20:
         # small-vocab path (tests, custom configs): materializing is cheap
-        adjusted = adjust(x32, banned, eos_col, m[:, None], L[:, None],
+        adjusted = adjust(logits, banned, eos_col, m[:, None], L[:, None],
                           s_row[:, None])
         return topk_chunked(adjusted.reshape(b, nb * v), k)
 
@@ -178,10 +182,13 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     # [N, V] materialization + a 33 MB relayout for the chunk reduce
     # (~145 us/step, round-3 trace); this form reads the bf16 logits once.
     neg = jnp.asarray(-jnp.inf, logits.dtype)
-    masked_b = jnp.where(mask_eos & eos_col, neg, logits)
+    # mask in [N, C, chunk] layout so the wheres + chunk-max fuse against the
+    # ngram mask's native [N, V/128, 128] tiles (see banned_ngram_mask)
+    masked_b = jnp.where((mask_eos & eos_col).reshape(1, c, chunk), neg,
+                         logits.reshape(n, c, chunk))
     if banned is not None:
-        masked_b = jnp.where(banned, neg, masked_b)
-    cmax_raw = jnp.max(masked_b.reshape(n, c, chunk), axis=-1)  # [N, C]
+        masked_b = jnp.where(banned.reshape(n, c, chunk), neg, masked_b)
+    cmax_raw = jnp.max(masked_b, axis=-1)  # [N, C]
     cmax = ((cmax_raw.astype(jnp.float32) - m[:, None]) - L[:, None]) + s_row[:, None]
     # stage 2: top-k chunks per BATCH row (beam-major == global order), then
     # re-derive the adjusted values on just those k*chunk columns
@@ -426,13 +433,32 @@ def beam_search(
     # (asserted vs the unsegmented run in tests/test_decode_parity.py).
     #
     # Alignment: every segment's flat row count nb*cap is rounded up to a
-    # multiple of 8 — a sublane-misaligned K dim drops the beam-attention
+    # multiple of the cache dtype's sublane tile (8 for bf16/f32, 32 for the
+    # int8 cache) — a sublane-misaligned K dim drops the beam-attention
     # cache read from ~940 to ~330 GB/s on v5e (scripts/
     # bench_beam_attn_kernel.py: kk=724 vs 728). The padded rows are
     # positions >= Lmax, masked by the causal bias (see decode_step_beam),
     # so outputs are unchanged.
+    #
+    # Cache leaves: rows live on axis 1 for the kv buffers; the int8 mode's
+    # "kvs" scale leaf ([B, 2h, K], see T5.init_cache) carries them on the
+    # LAST axis. _cache_rows maps a resize fn over both.
+    def _cache_rows(cache, fn):
+        def per_leaf(path, x):
+            last = path[-1] if path else None
+            axis = x.ndim - 1 if getattr(last, "key", None) == "kvs" else 1
+            return fn(x, axis)
+
+        return jax.tree_util.tree_map_with_path(per_leaf, cache)
+
+    sub = 8
+    if ancestry and any(
+        x.dtype == jnp.int8 for x in jax.tree.leaves(state.cache)
+    ):
+        sub = 32
+
     def _align(c: int) -> int:
-        while ancestry and (nb * c) % 8:
+        while ancestry and (nb * c) % sub:
             c += 1
         return c
 
@@ -445,12 +471,14 @@ def beam_search(
     if ancestry:
         rows0 = nb * caps[0]
 
-        def _fit(x):
-            if x.shape[1] >= rows0:
-                return x[:, :rows0]
-            return jnp.pad(x, ((0, 0), (0, rows0 - x.shape[1]), (0, 0)))
+        def _fit(x, axis):
+            if x.shape[axis] >= rows0:
+                return jax.lax.slice_in_dim(x, 0, rows0, axis=axis)
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, rows0 - x.shape[axis])
+            return jnp.pad(x, pad)
 
-        state = state._replace(cache=jax.tree.map(_fit, state.cache))
+        state = state._replace(cache=_cache_rows(state.cache, _fit))
     elif len(caps) > 1:
         state = state._replace(cache=jax.tree.map(
             lambda x: x[:, : nb * caps[0]], state.cache))
@@ -467,8 +495,13 @@ def beam_search(
         s = jax.lax.while_loop(cond_cap, body, s)
         if cap < lmax:
             grow = nb * (caps[idx + 1] - cap)
-            s = s._replace(cache=jax.tree.map(
-                lambda x, g=grow: jnp.pad(x, ((0, 0), (0, g), (0, 0))), s.cache))
+
+            def _grow(x, axis, g=grow):
+                pad = [(0, 0)] * x.ndim
+                pad[axis] = (0, g)
+                return jnp.pad(x, pad)
+
+            s = s._replace(cache=_cache_rows(s.cache, _grow))
 
     best = jnp.argmax(s.fin_scores, axis=1)  # [B]
     best_seq = jnp.take_along_axis(

@@ -70,17 +70,26 @@ def banned_ngram_mask(
     # dense banned mask WITHOUT a vocab scatter: XLA lowers the batched
     # .at[f].max scatter to sort + a serial mask build (~0.6 ms/step at
     # serving shapes, per the round-2 device trace). Decompose token ids as
-    # v = hi*256 + lo; then banned[n, hi, lo] = sum_w match * [f_hi = hi] *
-    # [f_lo = lo] is ONE [N,W,Hi] x [N,W,256] batched matmul on the MXU.
-    hi_size = -(-v // 256)
-    f_hi = followers // 256
-    f_lo = followers % 256
+    # v = hi*lo_size + lo; then banned[n, hi, lo] = sum_w match * [f_hi = hi]
+    # * [f_lo = lo] is ONE [N,W,Hi] x [N,W,Lo] batched matmul on the MXU.
+    #
+    # lo_size = 128 when it divides V: the consumer (fused_candidate_topk)
+    # reduces the masked logits in [N, V/128, 128] chunk layout, and a
+    # banned mask born [N, 126, 256] forced XLA to relayout both the mask
+    # and a full f32 [N, V] masked-logits intermediate every step
+    # (~85 us/step of transposed copies in the round-3 beam trace). With
+    # matching [N, 251, 128] tiles the where+chunk-max fuses into the
+    # einsum output directly. 256 kept otherwise (W < 256 exactness bound).
+    lo_size = 128 if v % 128 == 0 else 256
+    hi_size = -(-v // lo_size)
+    f_hi = followers // lo_size
+    f_lo = followers % lo_size
     m16 = match.astype(jnp.bfloat16)
     a = (f_hi[..., None] == jnp.arange(hi_size)).astype(jnp.bfloat16) * m16[..., None]
-    b = (f_lo[..., None] == jnp.arange(256)).astype(jnp.bfloat16)
-    # bf16 output halves the [N, Hi, 256] HBM write+read (the MXU still
+    b = (f_lo[..., None] == jnp.arange(lo_size)).astype(jnp.bfloat16)
+    # bf16 output halves the [N, Hi, Lo] HBM write+read (the MXU still
     # accumulates in f32); counts are bounded by W < 256, so every value is
     # exactly representable and the > 0.5 threshold is unchanged
     banned = jnp.einsum("nwh,nwl->nhl", a, b,
-                        preferred_element_type=jnp.bfloat16)  # [N, Hi, 256]
-    return banned.reshape(n, hi_size * 256)[:, :v] > 0.5
+                        preferred_element_type=jnp.bfloat16)  # [N, Hi, Lo]
+    return banned.reshape(n, hi_size * lo_size)[:, :v] > 0.5

@@ -163,12 +163,14 @@ class T5Attention(nn.Module):
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))
         return self.o(out), cache_k, cache_v
 
-    def step_beam(self, hidden_tok, cache_kv, pos, mask, bias_k):
+    def step_beam(self, hidden_tok, cache, pos, mask, bias_k):
         """One-token beam self-attention over a PHYSICAL (never reordered)
         cache, resolving beam histories through a precomputed ancestry mask.
 
-        hidden_tok: [N,1,D] with N = B*nb; cache_kv: [B, nb*Lmax, 2*h*d_kv]
-        in POSITION-MAJOR flat layout (built by ``init_cache(...,
+        hidden_tok: [N,1,D] with N = B*nb; cache: {"kv": [B, nb*Lmax,
+        2*h*d_kv]} (+ {"kvs": [B, 2h, nb*Lmax]} f32 dequant scales when the
+        buffer is int8 — config.kv_cache_int8). The kv buffer is
+        POSITION-MAJOR flat (built by ``init_cache(...,
         beam_width=nb)``): row ``t*nb + j`` holds the K and V (packed k|v in
         the minor dim — one buffer, one dynamic_update_slice per step; the
         separate-k/v form cost ~21 us of fixed dispatch per extra update in
@@ -197,15 +199,64 @@ class T5Attention(nn.Module):
         q = self.q(hidden_tok).reshape(b, nb, hd)
         k_new = self.k(hidden_tok).reshape(b, nb, hd)
         v_new = self.v(hidden_tok).reshape(b, nb, hd)
+        cache_kv = cache["kv"]
+
+        if "kvs" in cache:
+            # int8 KV cache (config.kv_cache_int8, engine turbo mode): rows
+            # quantize at write time with per-(row, head) scales, HALVING
+            # the dominant per-step HBM stream. kvs [B, 2h, K] f32 carries
+            # the scales (rows 0..h-1 = K, h..2h-1 = V).
+            kr = k_new.reshape(b, nb, h, d).astype(jnp.float32)
+            vr = v_new.reshape(b, nb, h, d).astype(jnp.float32)
+            sk = jnp.maximum(jnp.max(jnp.abs(kr), axis=-1), 1e-12) / 127.0
+            sv = jnp.maximum(jnp.max(jnp.abs(vr), axis=-1), 1e-12) / 127.0
+            ki = jnp.clip(jnp.round(kr / sk[..., None]), -127, 127)
+            vi = jnp.clip(jnp.round(vr / sv[..., None]), -127, 127)
+            rows = jnp.concatenate(
+                [ki.reshape(b, nb, hd), vi.reshape(b, nb, hd)], axis=-1
+            ).astype(jnp.int8)
+            cache_kv = jax.lax.dynamic_update_slice_in_dim(
+                cache_kv, rows, pos * nb, axis=1)
+            s_new = jnp.concatenate(
+                [sk.transpose(0, 2, 1), sv.transpose(0, 2, 1)], axis=1)
+            kvs = jax.lax.dynamic_update_slice_in_dim(
+                cache["kvs"], s_new, pos * nb, axis=2)
+            new_cache = {"kv": cache_kv, "kvs": kvs}
+
+            if self.config.use_fused_beam_attn:
+                from mmdx_tpu.ops.pallas_beam_attn import (
+                    beam_decode_attention_int8,
+                )
+
+                ctx = beam_decode_attention_int8(q, cache_kv, kvs, mask, bias_k)
+                return self.o(ctx.reshape(n, 1, hd)), new_cache
+
+            # XLA fallback mirrors the kernel's op order (scale after the
+            # int8-as-float dot; V scale folded into the probabilities)
+            kh = cache_kv[..., :hd].reshape(b, kk, h, d).astype(self.dtype)
+            vh = cache_kv[..., hd:].reshape(b, kk, h, d).astype(self.dtype)
+            scores = jnp.einsum(
+                "bihd,bkhd->bhik", q.reshape(b, nb, h, d), kh,
+                preferred_element_type=jnp.float32,
+            ) * kvs[:, :h, None, :]
+            scores = scores + bias_k[None, :, None, :] + mask[:, None, :, :]
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = (probs * kvs[:, h:, None, :]).astype(self.dtype)
+            ctx = jnp.einsum(
+                "bhik,bkhd->bihd", probs, vh, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            return self.o(ctx.reshape(n, 1, hd)), new_cache
+
         cache_kv = jax.lax.dynamic_update_slice_in_dim(
             cache_kv, jnp.concatenate([k_new, v_new], axis=-1), pos * nb, axis=1
         )
+        new_cache = {"kv": cache_kv}
 
         if self.config.use_fused_beam_attn:
             from mmdx_tpu.ops.pallas_beam_attn import beam_decode_attention
 
             ctx = beam_decode_attention(q, cache_kv, mask, bias_k)
-            return self.o(ctx.reshape(n, 1, h * d)), cache_kv
+            return self.o(ctx.reshape(n, 1, h * d)), new_cache
 
         kh = cache_kv[..., : h * d].reshape(b, kk, h, d)
         vh = cache_kv[..., h * d:].reshape(b, kk, h, d)
@@ -218,7 +269,7 @@ class T5Attention(nn.Module):
         ctx = jnp.einsum(
             "bhik,bkhd->bihd", probs, vh, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        return self.o(ctx.reshape(n, 1, h * d)), cache_kv
+        return self.o(ctx.reshape(n, 1, h * d)), new_cache
 
 
 class T5FFN(nn.Module):
@@ -333,20 +384,18 @@ class T5DecoderLayer(nn.Module):
         see ``T5Attention.step_beam``. Cross-attention needs no ancestry: all
         beams of a sample share identical encoder K/V."""
         y = self.self_ln(hidden_tok)
-        attn, kv_ = self.self_attn.step_beam(
-            y, cache["kv"], pos, mask, bias_k
-        )
+        attn, new_cache = self.self_attn.step_beam(y, cache, pos, mask, bias_k)
         hidden_tok = hidden_tok + attn
         if self.config.use_fused_cross_ffn:
-            return self._cross_ffn_fused(hidden_tok, static_kv, enc_bias), {
-                "kv": kv_}
+            return (self._cross_ffn_fused(hidden_tok, static_kv, enc_bias),
+                    new_cache)
         y = self.cross_ln(hidden_tok)
         hidden_tok = hidden_tok + self.cross_attn.cross_step(
             y, static_kv["ck"], static_kv["cv"], enc_bias
         )
         y = self.ffn_ln(hidden_tok)
         hidden_tok = hidden_tok + self.ffn_wo(nn.relu(self.ffn_wi(y)))
-        return hidden_tok, {"kv": kv_}
+        return hidden_tok, new_cache
 
 
 class T5(nn.Module):
@@ -464,11 +513,20 @@ class T5(nn.Module):
             shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
         for layer in self.decoder_layers:
             ck, cv = layer.cross_attn.project_kv(encoder_hidden)
-            zeros = jnp.zeros(shape, self.dtype)
-            if beam_width:
-                cache.append({"kv": zeros})
+            if beam_width and cfg.kv_cache_int8:
+                # int8 cache + per-(row, head) f32 dequant scales (rows on
+                # the LAST axis of the scale buffer: a [B, K, 2h] layout
+                # would pad 2h to a full 128-lane tile, 8x the bytes)
+                cache.append({
+                    "kv": jnp.zeros(shape, jnp.int8),
+                    "kvs": jnp.zeros(
+                        (shape[0], 2 * cfg.num_heads, shape[1]), jnp.float32),
+                })
+            elif beam_width:
+                cache.append({"kv": jnp.zeros(shape, self.dtype)})
             else:
-                cache.append({"k": zeros, "v": zeros})
+                cache.append({"k": jnp.zeros(shape, self.dtype),
+                              "v": jnp.zeros(shape, self.dtype)})
             entry = {"ck": ck, "cv": cv}
             if cfg.use_fused_cross_ffn:
                 # flat [N, K, h*d] layout for ops/pallas_t5_step, precomputed

@@ -97,8 +97,7 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     # gb=2 preferred: on-chip sweep at the 8-aligned kk=728 cache reads
     # 777 GB/s at gb=2 vs 702/709 at gb=4/8 (scripts/
     # bench_beam_attn_kernel.py, /tmp/sweep728.log round 3).
-    gb = _FORCE_GB or next(g for g in (2, 4, 8, 1)
-                           if b % g == 0 and g * kk * hd * 2 * 2 <= 12 * 2**20)
+    gb = _pick_gb(b, kk, hd)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(
@@ -112,8 +111,109 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, hd), q.dtype),
-        # in+out double-buffers exceed the 16MB default scoped cap at gb>2
+        # in+out double-buffers exceed the 16MB default scoped cap at gb>2;
+        # sample blocks are independent -> parallel grid semantics (lets
+        # Mosaic overlap program i+1's DMA with program i's compute)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q, kv, mask, bias)
+
+
+def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2) -> int:
+    return _FORCE_GB or next(g for g in (2, 4, 8, 1)
+                             if b % g == 0
+                             and g * kk * hd * 2 * itemsize <= 12 * 2**20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def beam_decode_attention_int8(q, kv, kvs, mask, bias, interpret: bool = False):
+    """int8-KV-cache variant of ``beam_decode_attention``.
+
+    kv [B, K, 2*h*d] int8 (per-row, per-head quantized K|V), kvs [B, 2*h, K]
+    f32 per-(row, head) dequant scales (rows 0..h-1 = K scales, h..2h-1 = V
+    scales); q/mask/bias as in the bf16 kernel. The cache — the beam step's
+    dominant HBM stream, re-read per layer per step — moves at HALF the
+    bytes; dequantization happens after the DMA:
+
+      scores_h = (q_h . k_i8_h) * sk[row]   (scale folds out of the dot:
+                                             it is constant per key row)
+      ctx_h    = (softmax * sv[row]) . v_i8_h  (same trick on the V side)
+
+    int8 values are exactly representable in bf16, so the casts are lossless;
+    the only deviation from the bf16 kernel is the quantization itself
+    (bounded in tests/test_kv_int8.py).
+    """
+    b, nb, hd2 = kv.shape[0], q.shape[1], kv.shape[2]
+    hd = hd2 // 2
+    _, kk, _ = kv.shape
+    h = bias.shape[0]
+    d = hd // h
+    assert h * d == hd, (h, d, hd)
+    assert kvs.shape == (b, 2 * h, kk), (kvs.shape, (b, 2 * h, kk))
+
+    def kernel(q_ref, kv_ref, s_ref, mask_ref, bias_ref, out_ref):
+        gb = q_ref.shape[0]
+        rq, rk = gb * nb, gb * kk
+        q_all = q_ref[...].reshape(rq, hd)
+        # int8 -> bf16 via int32 (Mosaic has no direct small-int -> float)
+        kv_all = kv_ref[...].reshape(rk, 2 * hd).astype(jnp.int32).astype(
+            q_ref.dtype)
+        k_all = kv_all[:, :hd]
+        v_all = kv_all[:, hd:]
+        if gb > 1:
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // nb
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // kk
+            bd = jnp.where(row_g == col_g, 0.0, NEG_INF)
+            m = bd + jnp.tile(mask_ref[...].reshape(rq, kk), (1, gb))
+        else:
+            m = mask_ref[...].reshape(rq, kk)
+        for hi in range(h):
+            qh = q_all[:, hi * d:(hi + 1) * d]
+            kh = k_all[:, hi * d:(hi + 1) * d]
+            vh = v_all[:, hi * d:(hi + 1) * d]
+            # per-key scale rows, laid out along the packed rk axis; the
+            # block-diagonal mask kills cross-sample terms, so only the
+            # in-sample (correct) scales ever matter
+            sk = jnp.concatenate(
+                [s_ref[g, hi:hi + 1, :] for g in range(gb)], axis=-1)
+            sv = jnp.concatenate(
+                [s_ref[g, h + hi:h + hi + 1, :] for g in range(gb)], axis=-1)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sk
+            s = s + jnp.tile(bias_ref[hi:hi + 1, :], (1, rk // kk)) + m
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = ((e / jnp.sum(e, axis=-1, keepdims=True)) * sv).astype(
+                q_ref.dtype)
+            ctx = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[:, :, hi * d:(hi + 1) * d] = (
+                ctx.astype(out_ref.dtype).reshape(gb, nb, d)
+            )
+
+    gb = _pick_gb(b, kk, hd, itemsize=1)
+    vmem_mb = _FORCE_VMEM_MB or 48
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, kk, 2 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, 2 * h, kk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0)),
+            full((h, kk)),
+        ],
+        out_specs=pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nb, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, kv, kvs, mask, bias)

@@ -18,6 +18,7 @@ This is the TPU-native replacement for the reference's per-request torch
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -101,6 +102,16 @@ class InferenceEngine:
                 report=dataclasses.replace(
                     model_config.report, use_fused_beam_attn=True,
                     use_fused_cross_ffn=True,
+                    # int8 beam KV cache: halves the decode loop's dominant
+                    # HBM stream; outputs differ at quantization-noise level
+                    # (tests/test_kv_int8.py) so it rides the same opt-in
+                    # tier as the int8 image tower. MMDX_KV_INT8=1/0
+                    # force-overrides (e.g. int8 generation in fast mode).
+                    kv_cache_int8=(
+                        os.environ.get("MMDX_KV_INT8", "") == "1"
+                        or (mode == "turbo"
+                            and os.environ.get("MMDX_KV_INT8", "") != "0")
+                    ),
                 ),
             )
         self.model_config = model_config

@@ -58,9 +58,17 @@ def main():
             best = per if best is None else min(best, per)
         return best
 
+    import itertools, os
     orig_pick = pba.beam_decode_attention
-    for kk in (640, 724, 728):
-        for gb_force, vmem in ((None, 48), (4, 48), (2, 48), (8, 96), (None, 96)):
+    kks = tuple(int(x) for x in os.environ.get(
+        "SWEEP_KK", "640,724,728").split(","))
+    gbs = os.environ.get("SWEEP_GB", "")
+    if gbs:
+        combos = [((None if g == "0" else int(g)), 48) for g in gbs.split(",")]
+    else:
+        combos = ((None, 48), (4, 48), (2, 48), (8, 96), (None, 96))
+    for kk in kks:
+        for gb_force, vmem in combos:
             # monkey-patch knobs via env-ish globals
             pba._FORCE_GB = gb_force
             pba._FORCE_VMEM_MB = vmem

@@ -57,15 +57,33 @@ def main():
     def upd(cache):  # fresh data each iter so nothing is hoisted
         return cache
 
-    # a/b: 4-row DUS, controlled offset parity
+    # a/b: 4-row DUS, controlled offset parity. The update VALUE reads the
+    # cache (rows at the previous offset) so no iteration can be replayed
+    # or hoisted — the chain is genuinely sequential.
     def make_ab(parity):
         def mk():
             return jnp.zeros((B, K, HD2), dt)
 
         def body(i, c):
             pos = (i % 90) * 2 + parity  # even*2(+1): alternating aligned rows
-            new = jnp.full((B, NB, HD2), (i % 7).astype(dt))
+            new = lax.dynamic_slice_in_dim(
+                c, ((i + 1) % 90) * 2 * NB, NB, axis=1) + i.astype(dt)
             return lax.dynamic_update_slice_in_dim(c, new, pos * NB, axis=1)
+
+        return mk, body
+
+    # f: one stacked 6-layer DUS (the batched-write candidate)
+    def make_f():
+        L = 6
+
+        def mk():
+            return jnp.zeros((L, B, K, HD2), dt)
+
+        def body(i, c):
+            pos = i % 179
+            new = lax.dynamic_slice_in_dim(
+                c, ((i + 1) % 179) * NB, NB, axis=2) + i.astype(dt)
+            return lax.dynamic_update_slice_in_dim(c, new, pos * NB, axis=2)
 
         return mk, body
 
@@ -107,6 +125,7 @@ def main():
 
     for name, (mk, body) in (
         ("a 4row even-offset  [B,K,hd2]", make_ab(0)),
+        ("f 4row stacked-6L   [6,B,K,hd2]", make_f()),
         ("b 4row odd-offset   [B,K,hd2]", make_ab(1)),
         ("c 8row aligned      [B,K,hd2]", make_c()),
         ("d 1row row-per-pos  [B,L,4096]", make_d()),

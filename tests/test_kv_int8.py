@@ -1,0 +1,172 @@
+"""int8 beam KV cache (config.kv_cache_int8): accuracy guardrail + invariants.
+
+The engine's turbo tier quantizes beam-decode K/V rows to int8 at write time
+(per-(row, head) scales, T5Attention.step_beam) and dequantizes inside the
+attention read — halving the decode loop's dominant HBM stream. This file
+bounds the quantization error at the attention level, pins the fused Pallas
+kernel (interpret mode) to the XLA int8 fallback, and asserts the segmented
+decode machinery stays output-invariant with the extra scale leaf.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmdx_tpu.config import ReportDecoderConfig
+from mmdx_tpu.decode.beam_search import beam_expand, beam_search
+from mmdx_tpu.models.t5 import T5
+
+
+def _cfg(**kw):
+    return ReportDecoderConfig(
+        vocab_size=61, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout=0.0, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    model = T5(config=cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 61, (2, 5)))
+    mask = jnp.ones((2, 5), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids, mask, ids)
+    return cfg, variables
+
+
+def _quantize_rows(x, h):
+    """Reference per-(row, head) quantization (mirrors step_beam's writes)."""
+    b, kk, hd = x.shape
+    d = hd // h
+    r = x.reshape(b, kk, h, d).astype(np.float32)
+    s = np.maximum(np.abs(r).max(-1), 1e-12) / 127.0  # [b, kk, h]
+    q = np.clip(np.round(r / s[..., None]), -127, 127).astype(np.int8)
+    return q.reshape(b, kk, hd), s
+
+
+def test_int8_attention_error_bound():
+    """Quantized attention stays within quantization-noise of the exact
+    bf16 kernel on random data — the quality guardrail for turbo decode."""
+    from mmdx_tpu.ops.pallas_beam_attn import (
+        beam_decode_attention, beam_decode_attention_int8,
+    )
+
+    rng = np.random.default_rng(1)
+    b, nb, h, d = 4, 4, 4, 16
+    kk = 24 * nb
+    hd = h * d
+    q = rng.standard_normal((b, nb, hd)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, kk, hd)).astype(np.float32)
+    v = rng.standard_normal((b, kk, hd)).astype(np.float32)
+    bias = (rng.standard_normal((h, kk)) * 0.1).astype(np.float32)
+    mask = np.zeros((b, nb, kk), np.float32)
+
+    exact = beam_decode_attention(
+        jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(np.concatenate([k, v], -1), jnp.bfloat16),
+        jnp.asarray(mask), jnp.asarray(bias), interpret=True,
+    ).astype(jnp.float32)
+
+    ki, sk = _quantize_rows(k, h)
+    vi, sv = _quantize_rows(v, h)
+    kv_i8 = jnp.asarray(np.concatenate([ki, vi], -1))
+    kvs = jnp.asarray(
+        np.concatenate([sk.transpose(0, 2, 1), sv.transpose(0, 2, 1)], 1))
+    quant = beam_decode_attention_int8(
+        jnp.asarray(q, jnp.bfloat16), kv_i8, kvs,
+        jnp.asarray(mask), jnp.asarray(bias), interpret=True,
+    ).astype(jnp.float32)
+
+    rel = float(jnp.linalg.norm(quant - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.03, rel
+
+
+def test_int8_kernel_matches_xla_fallback(setup):
+    """The fused int8 kernel and the XLA int8 fallback read the SAME
+    quantized cache and mirror each other's op order — decode_step_beam
+    logits must agree to bf16 rounding."""
+    cfg, variables = setup
+    rng = np.random.default_rng(2)
+    B, K, nb = 2, 4, 4
+    lmax = 9
+    cond = jnp.asarray(
+        beam_expand(rng.standard_normal((B, K, cfg.d_model)).astype(np.float32), nb))
+    enc_mask = jnp.ones((B * nb, K), jnp.int32)
+    tokens = jnp.asarray(rng.integers(1, 61, (B * nb, 1)))
+    anc = jnp.zeros((B, nb, lmax), jnp.int32)
+
+    outs = {}
+    for fused in (False, True):
+        c = dataclasses.replace(cfg, kv_cache_int8=True,
+                                use_fused_beam_attn=fused)
+        m = T5(config=c)
+        cache, static_kv = m.apply(variables, B * nb, lmax, cond, nb,
+                                   method=T5.init_cache)
+        self_bias = m.apply(variables, lmax, method=T5.decode_self_bias)
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            logits, _ = m.apply(
+                variables, tokens, 0, cache, anc, static_kv, self_bias,
+                enc_mask, method=T5.decode_step_beam)
+        outs[fused] = np.asarray(logits)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-2, atol=2e-3)
+
+
+def test_int8_beam_search_runs_and_segments_are_invariant(setup):
+    """End-to-end int8 beam search: valid output structure, and segmented
+    cache growth (now with the [B, 2h, K] scale leaf riding along) is
+    bit-invariant vs the unsegmented run."""
+    cfg, variables = setup
+    c = dataclasses.replace(cfg, kv_cache_int8=True)
+    model = T5(config=c)
+    rng = np.random.default_rng(3)
+    B, K, nb = 3, 4, 4
+    gen_kw = dict(num_beams=nb, max_new_tokens=16, min_new_tokens=4,
+                  no_repeat_ngram_size=3, length_penalty=1.1,
+                  early_stopping=True)
+    lmax = 1 + gen_kw["max_new_tokens"]
+    cond = jnp.asarray(
+        beam_expand(rng.standard_normal((B, K, cfg.d_model)).astype(np.float32) * 2.0, nb))
+    cache, static_kv = model.apply(variables, B * nb, lmax, cond, nb,
+                                   method=T5.init_cache)
+    assert cache[0]["kv"].dtype == jnp.int8
+    assert cache[0]["kvs"].shape == (B, 2 * cfg.num_heads, nb * lmax)
+    self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+    enc_mask = jnp.ones((B * nb, K), jnp.int32)
+
+    def step_fn(tokens, pos, c_, anc):
+        return model.apply(variables, tokens, pos, c_, anc, static_kv,
+                           self_bias, enc_mask, method=T5.decode_step_beam)
+
+    base, base_scores = beam_search(
+        step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
+        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0,
+        cache_mode="ancestry", **gen_kw)
+    base = np.asarray(base)
+    assert base.shape == (B, lmax)
+    assert ((base >= 0) & (base < cfg.vocab_size)).all()
+
+    seg, seg_scores = beam_search(
+        step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
+        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0,
+        cache_mode="ancestry", segment_caps=(5, 11), **gen_kw)
+    np.testing.assert_array_equal(np.asarray(seg), base)
+    np.testing.assert_allclose(np.asarray(seg_scores),
+                               np.asarray(base_scores), rtol=0, atol=0)
+
+
+def test_int8_flag_leaves_greedy_layout_alone(setup):
+    """kv_cache_int8 only affects the beam (ancestry) layout; greedy decode
+    keeps the exact bf16/f32 heads-major cache."""
+    cfg, variables = setup
+    c = dataclasses.replace(cfg, kv_cache_int8=True)
+    model = T5(config=c)
+    cond = jnp.zeros((4, 3, cfg.d_model), jnp.float32)
+    cache, _ = model.apply(variables, 4, 7, cond, None, method=T5.init_cache)
+    assert set(cache[0]) == {"k", "v"}
+    assert cache[0]["k"].dtype != jnp.int8
