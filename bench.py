@@ -112,24 +112,38 @@ def main():
         acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.int32(1)))
         return acc
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def bench_loop_turbo(variables, qparams, images, ids, mask, iters: int):
-        from mmdx_tpu.models.resnet_int8 import int8_backbone_apply
-
-        def body(_, carry):
-            acc, salt = carry
-            img_i = images + (salt % 2).astype(jnp.uint8)
-            ids_i = ids.at[:, 0].set(salt % cfg.text.vocab_size)
-            feats = int8_backbone_apply(qparams, preproc(img_i))
-            out = model.apply(
-                variables, feats, ids_i, mask, None,
-                method=MultiModalDiagnosisModel.classify_from_image_feats,
+    def make_bench_loop_turbo(text_int8: bool):
+        # turbo = int8 image backbone + (by default) int8 text-tower matmuls
+        turbo_model = model
+        if text_int8:
+            turbo_model = MultiModalDiagnosisModel(
+                config=dataclasses.replace(
+                    model_cfg,
+                    text=dataclasses.replace(model_cfg.text, int8_matmuls=True),
+                ),
+                dtype=jnp.bfloat16,
             )
-            s = jnp.sum(out["probs"].astype(jnp.float32))
-            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
 
-        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.int32(1)))
-        return acc
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def bench_loop_turbo(variables, qparams, images, ids, mask, iters: int):
+            from mmdx_tpu.models.resnet_int8 import int8_backbone_apply
+
+            def body(_, carry):
+                acc, salt = carry
+                img_i = images + (salt % 2).astype(jnp.uint8)
+                ids_i = ids.at[:, 0].set(salt % cfg.text.vocab_size)
+                feats = int8_backbone_apply(qparams, preproc(img_i))
+                out = turbo_model.apply(
+                    variables, feats, ids_i, mask, None,
+                    method=MultiModalDiagnosisModel.classify_from_image_feats,
+                )
+                s = jnp.sum(out["probs"].astype(jnp.float32))
+                return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
+
+            acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.int32(1)))
+            return acc
+
+        return bench_loop_turbo
 
     def measure(loop, *args, label=""):
         def timed(iters):
@@ -159,6 +173,7 @@ def main():
 
     # ---- int8 turbo classification (headline) ----
     turbo_rate = None
+    text_int8 = False
     if os.environ.get("MMDX_BENCH_TURBO", "1") != "0":
         try:
             from mmdx_tpu.models.resnet_int8 import (
@@ -170,8 +185,20 @@ def main():
             qparams = jax.jit(
                 lambda v: quantize_backbone(v, scales, cfg.image.bn_eps)
             )(variables)
-            per_turbo = measure(bench_loop_turbo, variables, qparams, images,
-                                ids, mask, label="turbo")
+            text_int8 = os.environ.get("MMDX_BENCH_TEXT_INT8", "1") != "0"
+            try:
+                per_turbo = measure(
+                    make_bench_loop_turbo(text_int8), variables, qparams,
+                    images, ids, mask, label="turbo")
+            except Exception as e:  # noqa: BLE001
+                if not text_int8:
+                    raise
+                log(f"[bench] int8 text tower failed ({type(e).__name__}: "
+                    f"{e}); turbo falls back to bf16 text")
+                text_int8 = False
+                per_turbo = measure(
+                    make_bench_loop_turbo(False), variables, qparams,
+                    images, ids, mask, label="turbo")
             turbo_rate = batch / per_turbo
             log(f"[bench] turbo classify: {per_turbo * 1e3:.2f} ms/batch "
                 f"-> {turbo_rate:.0f} inferences/s/chip "
@@ -181,7 +208,9 @@ def main():
                 f"headline falls back to bf16")
 
     headline = turbo_rate or bf16_rate
-    tower = "int8-turbo" if turbo_rate else "bf16"
+    tower = "bf16"
+    if turbo_rate:
+        tower = "int8-turbo(img+text)" if text_int8 else "int8-turbo(img)"
 
     # ---- report generation: the reference's dominant hot loop (beam-4,
     # 150-180 tokens, inference_pipeline.py:190). MMDX_BENCH_GEN=0 skips. ----
@@ -247,8 +276,8 @@ def main():
     baseline = 5000.0  # BASELINE.json north-star target
     print(json.dumps({
         "metric": (
-            f"multimodal classify inferences/s/chip ({tower} image tower + "
-            f"bf16 text tower + fusion head, on-device preproc, B={batch})"
+            f"multimodal classify inferences/s/chip ({tower} towers + "
+            f"fusion head, on-device preproc, B={batch})"
         ),
         "value": round(headline, 1),
         "unit": "inferences/s/chip",

@@ -100,6 +100,13 @@ class TextEncoderConfig:
     # the einsum/flash paths take over.
     use_fused_attn_block: bool = False
     fused_attn_max_seq_len: int = 128
+    # int8 W8A8 matmuls inside the fused Pallas blocks (per-row dynamic
+    # activation scales, per-channel weight scales): 2x the MXU rate on the
+    # QKV/out/FFN projections, which are ~97% of the tower's FLOPs. Output
+    # differs from bf16 at quantization-noise level (tests/test_int8_text.py)
+    # so this is opt-in: the engine enables it in turbo mode only. Takes
+    # effect only where use_fused_attn_block / use_fused_ffn apply.
+    int8_matmuls: bool = False
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,7 @@ class BertLayer(nn.Module):
                 wo_a.astype(self.dtype), bo_a.astype(self.dtype),
                 lns_a.astype(self.dtype), lnb_a.astype(self.dtype),
                 seq_len=l, num_heads=n_heads, eps=cfg.layer_norm_eps,
+                int8_matmuls=cfg.int8_matmuls,
             ).reshape(b, l, h)
             return self._ffn(hidden, deterministic)
 
@@ -132,13 +133,14 @@ class BertLayer(nn.Module):
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
 
         if cfg.use_fused_ffn and deterministic:
-            from mmdx_tpu.ops.pallas_ffn import fused_ffn_ln
+            from mmdx_tpu.ops.pallas_ffn import fused_ffn_ln, fused_ffn_ln_int8
 
             wi, bi = _LinearParams(h, cfg.intermediate_size, name="ffn_in")()
             wo, bo = _LinearParams(cfg.intermediate_size, h, name="ffn_out")()
             ln_s, ln_b = _LayerNormParams(h, name="ffn_ln")()
             b, l, _ = hidden.shape
-            out = fused_ffn_ln(
+            ffn_fn = fused_ffn_ln_int8 if cfg.int8_matmuls else fused_ffn_ln
+            out = ffn_fn(
                 hidden.reshape(b * l, h),
                 wi.astype(self.dtype), bi.astype(self.dtype),
                 wo.astype(self.dtype), bo.astype(self.dtype),

@@ -80,9 +80,66 @@ def _kernel(x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads", "eps"))
+def _kernel_int8(x_ref, kmask_ref, wqkv_ref, wqkvs_ref, bqkv_ref, wo_ref,
+                 wos_ref, bo_ref, lns_ref, lnb_ref, out_ref, *, seq_len: int,
+                 num_heads: int, head_dim: int, eps: float):
+    """int8-matmul variant: the QKV and output projections (97% of the
+    block's true FLOPs) run int8 x int8 -> int32 on the MXU with per-row
+    dynamic activation scales and per-channel weight scales; the tiny
+    scores/softmax/ctx chain stays bf16/f32 exactly as in ``_kernel``."""
+    from mmdx_tpu.ops.pallas_ffn import _quant_rows
+
+    r, hidden = x_ref.shape
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    xi, sx = _quant_rows(xf)
+    qkv = jax.lax.dot_general(
+        xi, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    qkv = (qkv * (sx * wqkvs_ref[...])
+           + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)  # [R, 3H]
+
+    row_img = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) // seq_len
+    col_img = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) // seq_len
+    mask = jnp.where(row_img == col_img, 0.0, NEG_INF)
+    mask = mask + kmask_ref[...].astype(jnp.float32)  # [1, R] broadcast
+
+    scale = 1.0 / float(head_dim) ** 0.5
+    ctx_heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, hidden + h * head_dim:hidden + (h + 1) * head_dim]
+        v = qkv[:, 2 * hidden + h * head_dim:2 * hidden + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + mask  # [R, R]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        ctx_heads.append(jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))  # [R, d] f32
+    ctx = jnp.concatenate(ctx_heads, axis=1)  # [R, H]
+
+    ci, sc = _quant_rows(ctx)
+    out = jax.lax.dot_general(
+        ci, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = xf + out * (sc * wos_ref[...]) + bo_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    y = (y - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads", "eps",
+                                             "int8_matmuls", "interpret"))
 def fused_attention_block(x, kmask, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
-                          seq_len: int, num_heads: int, eps: float = 1e-12):
+                          seq_len: int, num_heads: int, eps: float = 1e-12,
+                          int8_matmuls: bool = False, interpret: bool = False):
     """x: [B*L, H] (L = seq_len); kmask: [B*L] f32 additive key-padding mask
     (0 valid / -1e9 pad); wqkv: [H, 3H] (q|k|v column blocks, head-major
     within each); returns LayerNorm(x + attention(x) Wo + bo) as [B*L, H].
@@ -112,6 +169,34 @@ def fused_attention_block(x, kmask, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
         kmask = jnp.pad(kmask, (0, pad))
     grid = ((m + pad) // r,)
 
+    if int8_matmuls:
+        from mmdx_tpu.ops.pallas_ffn import quant_weight_cols
+
+        wqkv_i8, wqkvs = quant_weight_cols(wqkv)
+        wo_i8, wos = quant_weight_cols(wo)
+        out = pl.pallas_call(
+            functools.partial(_kernel_int8, seq_len=seq_len,
+                              num_heads=num_heads, head_dim=head_dim, eps=eps),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((r, hidden), lambda i: (i, 0)),
+                pl.BlockSpec((1, r), lambda i: (0, i)),
+                pl.BlockSpec((hidden, 3 * hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, 3 * hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, 3 * hidden), lambda i: (0, 0)),
+                pl.BlockSpec((hidden, hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+                pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((r, hidden), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m + pad, hidden), x.dtype),
+            interpret=interpret,
+        )(x, kmask[None, :], wqkv_i8, wqkvs, bqkv[None, :], wo_i8, wos,
+          bo[None, :], ln_scale[None, :], ln_bias[None, :])
+        return out[:m]
+
     out = pl.pallas_call(
         functools.partial(_kernel, seq_len=seq_len, num_heads=num_heads,
                           head_dim=head_dim, eps=eps),
@@ -128,6 +213,7 @@ def fused_attention_block(x, kmask, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
         ],
         out_specs=pl.BlockSpec((r, hidden), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m + pad, hidden), x.dtype),
+        interpret=interpret,
     )(x, kmask[None, :], wqkv, bqkv[None, :], wo, bo[None, :],
       ln_scale[None, :], ln_bias[None, :])
     return out[:m]

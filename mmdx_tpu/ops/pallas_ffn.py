@@ -41,6 +41,106 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _quant_rows(xf):
+    """Per-row symmetric int8 quantization of an f32 tile already in VMEM.
+
+    Returns (int8 values, f32 [rows, 1] dequant scales). Per-row dynamic
+    scales cost only a VPU reduce here (the tile never re-reads HBM — the
+    objection to dynamic quantization in models/resnet_int8.py does not
+    apply inside a fused kernel) and track activation ranges exactly,
+    so no calibration pass or static activation scales are needed.
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    # f32 -> int8 via int32: Mosaic has no direct small-int <-> float casts
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int32).astype(jnp.int8)
+    return q, s
+
+
+def quant_weight_cols(w):
+    """Per-output-channel symmetric int8 weight quantization (host/XLA side).
+
+    w: [in, out] -> (int8 [in, out], f32 [1, out] dequant scales). Runs
+    outside the Pallas call; XLA executes it once per jit invocation
+    (~microseconds against the 16k-row serving matmuls it feeds).
+    """
+    ws = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0,
+                             keepdims=True), 1e-12) / 127.0
+    wi = jnp.clip(jnp.round(w.astype(jnp.float32) / ws), -127, 127).astype(jnp.int8)
+    return wi, ws
+
+
+def _ffn_kernel_int8(x_ref, wi_ref, wis_ref, bi_ref, wo_ref, wos_ref, bo_ref,
+                     ln_scale_ref, ln_bias_ref, out_ref, *, eps: float):
+    """int8 variant: both matmuls run int8 x int8 -> int32 on the MXU (2x the
+    bf16 rate on v5e) with per-row dynamic activation scales and per-channel
+    weight scales; gelu/residual/LayerNorm stay f32 in VMEM."""
+    x = x_ref[...]  # [BM, H]
+    xf = x.astype(jnp.float32)
+    xi, sx = _quant_rows(xf)
+    mid = jax.lax.dot_general(
+        xi, wi_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    mid = mid * (sx * wis_ref[...]) + bi_ref[...].astype(jnp.float32)
+    mid = _gelu_exact(mid)
+    mi, sm = _quant_rows(mid)
+    y = jax.lax.dot_general(
+        mi, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (sm * wos_ref[...]) + bo_ref[...].astype(jnp.float32) + xf
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    normed = (y - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (
+        normed * ln_scale_ref[...].astype(jnp.float32)
+        + ln_bias_ref[...].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "eps", "interpret"))
+def fused_ffn_ln_int8(x, wi, bi, wo, bo, ln_scale, ln_bias,
+                      block_rows: int = 256, eps: float = 1e-12,
+                      interpret: bool = False):
+    """int8-matmul variant of ``fused_ffn_ln`` (same signature/semantics, W8A8
+    quantization noise on the output — guardrail in tests/test_int8_text.py).
+
+    Weights quantize per-output-channel here (outside the kernel, once per
+    call); activations quantize per-row inside the kernel where the tiles
+    already live in VMEM.
+    """
+    m, h = x.shape
+    f = wi.shape[1]
+    wi_i8, wis = quant_weight_cols(wi)
+    wo_i8, wos = quant_weight_cols(wo)
+    bm = min(block_rows, max(32, m))  # int8 sublane tile is 32
+    pad = -m % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    grid = ((m + pad) // bm,)
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel_int8, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, h), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m + pad, h), x.dtype),
+        interpret=interpret,
+    )(x, wi_i8, wis, bi[None, :], wo_i8, wos, bo[None, :],
+      ln_scale[None, :], ln_bias[None, :])
+    return out[:m]
+
+
 def _ffn_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, ln_scale_ref, ln_bias_ref,
                 out_ref, *, eps: float):
     x = x_ref[...]  # [BM, H]

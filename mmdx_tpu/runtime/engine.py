@@ -89,6 +89,14 @@ class InferenceEngine:
                     model_config.text, use_fused_ffn=True,
                     use_flash_attention=True,
                     use_fused_attn_block=True,
+                    # int8 W8A8 matmuls in the fused text-tower kernels
+                    # (turbo tier; quantization-noise deltas bounded in
+                    # tests/test_int8_text.py). MMDX_TEXT_INT8=1/0 overrides.
+                    int8_matmuls=(
+                        os.environ.get("MMDX_TEXT_INT8", "") == "1"
+                        or (mode == "turbo"
+                            and os.environ.get("MMDX_TEXT_INT8", "") != "0")
+                    ),
                 ),
                 image=dataclasses.replace(
                     model_config.image, use_folded_bn=True,
