@@ -152,6 +152,12 @@ class ReportDecoderConfig:
     # quantization-noise level (guardrail: tests/test_kv_int8.py), so this
     # is opt-in: the engine enables it in turbo mode only.
     kv_cache_int8: bool = False
+    # Streaming lm_head (ops/pallas_lm_head): decode_step_beam defers the
+    # tied-head matmul so beam search fuses it with candidate selection —
+    # logits touch HBM once per step instead of ~4x. Online logsumexp is
+    # mathematically (not bitwise) the dense chain's L, so fast/turbo only;
+    # takes effect only for tied embeddings and lane-aligned vocabs.
+    use_fused_lm_head: bool = False
 
 
 @dataclass(frozen=True)

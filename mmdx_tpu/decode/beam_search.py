@@ -146,7 +146,41 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     Returns (vals [B, k], flat_idx [B, k]) with flat_idx in the beam-major
     [nb * V] candidate space (same contract as ``topk_chunked``).
     """
+    from mmdx_tpu.ops.pallas_lm_head import CHUNK, LazyLogits, lm_head_stats
+
     n, v = logits.shape
+    if isinstance(logits, LazyLogits):
+        if v % CHUNK == 0 and v >= 2 * CHUNK:
+            # streaming path: the lm_head matmul and ALL stage-1 reductions
+            # run in one Pallas pass — logits touch HBM exactly once (the
+            # dense chain re-reads the 33 MB f32 tensor ~3x per step). The
+            # online logsumexp is mathematically (not bitwise) the dense L,
+            # so this path rides the fast/turbo tier only
+            # (config.use_fused_lm_head; parity mode keeps the dense chain).
+            eos_row = (jnp.arange(v) == eos_token_id)[None, :]
+            full_mask = jnp.broadcast_to(mask_eos & eos_row, (n, v))
+            if banned is not None:
+                full_mask = full_mask | banned
+            logits_p, m, L, cmax_p = lm_head_stats(
+                logits.hidden, logits.emb, full_mask)
+            c = v // CHUNK
+            s_row = beam_scores.reshape(n)
+            cmax = ((cmax_p - m[:, None]) - L[:, None]) + s_row[:, None]
+            _, cidx = topk_small(cmax.reshape(b, nb * c), k)
+            cidx = jnp.sort(cidx, axis=-1)
+            rows = (jnp.arange(b, dtype=cidx.dtype)[:, None] * nb) + cidx // c
+            lin = rows * c + cidx % c
+            gl = jnp.take(logits_p.reshape(n * c, CHUNK), lin, axis=0)
+            gm = jnp.take(full_mask.reshape(n * c, CHUNK), lin, axis=0)
+            adj = jnp.where(gm, -jnp.inf, gl)
+            adj = ((adj - jnp.take(m, rows)[..., None])
+                   - jnp.take(L, rows)[..., None]) + jnp.take(s_row, rows)[..., None]
+            vals, gi = topk_small(adj.reshape(b, k * CHUNK), k)
+            sel_chunk = jnp.take_along_axis(cidx, gi // CHUNK, axis=1)
+            flat_idx = ((sel_chunk // c) * v + (sel_chunk % c) * CHUNK
+                        + gi % CHUNK)
+            return vals, flat_idx
+        logits = logits.materialize()  # small/unaligned vocab: dense chain
     # m and L over the RAW logits (log_softmax runs before the mask in the
     # reference chain). m via the bf16 max: float cast is monotone and exact,
     # so cast(max(bf16)) == max(cast(bf16)) BITWISE — and with m no longer a

@@ -616,6 +616,15 @@ class T5(nn.Module):
                                          mask, bias_k, enc_bias)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
+        cfg = self.config
+        if cfg.use_fused_lm_head and cfg.tie_word_embeddings:
+            # defer the lm_head: beam search fuses it with candidate
+            # selection in one Pallas pass (ops/pallas_lm_head)
+            from mmdx_tpu.ops.pallas_lm_head import LazyLogits
+
+            return LazyLogits(
+                hidden[:, 0] * (cfg.d_model**-0.5), self.shared.embedding
+            ), new_cache
         return self._lm_logits(hidden)[:, 0], new_cache
 
     def __call__(self, input_ids, attention_mask, decoder_input_ids):

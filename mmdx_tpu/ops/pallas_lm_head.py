@@ -1,0 +1,149 @@
+"""Pallas streaming lm_head + candidate-selection statistics for beam decode.
+
+The beam step's logit chain (reference hot loop: HF beam search over the T5
+lm_head, reference backend/ml/pipelines/inference_pipeline.py:190) is, per
+step: lm_head matmul -> [N, 32128] f32 logits to HBM -> three separate
+reductions read them back (row max, logsumexp, masked per-128-chunk max for
+the two-stage candidate top-k in decode/beam_search.fused_candidate_topk).
+That is ~4 HBM round-trips of a 33 MB tensor per step (~0.5 ms of the
+~2 ms/step round-3 beam budget).
+
+This kernel streams the tied-embedding matmul through VMEM in vocab tiles
+and computes ALL the stage-1 statistics in the same pass:
+
+  * logits written to HBM ONCE (stage 2 of the top-k gathers a few 128-col
+    chunks from them);
+  * running row max ``m`` and online logsumexp ``L`` (flash-softmax style
+    rescaling — mathematically equal to the dense chain, not bitwise, so
+    this path is fast/turbo-mode only; parity mode and small vocabs keep the
+    dense XLA chain);
+  * ``cmax`` = per-128-chunk max over MASKED logits (ngram bans + the
+    min-length eos mask fold into one [N, V] mask input).
+
+HBM traffic per step drops from ~165 MB (weights + logits x4) to ~75 MB
+(weights + logits once + mask).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128  # stage-1 chunk width (must match fused_candidate_topk)
+
+
+class LazyLogits(NamedTuple):
+    """Deferred lm_head: ``logits = hidden @ emb.T`` (tied-embedding head,
+    d_model**-0.5 already folded into ``hidden``). ``T5.decode_step_beam``
+    returns this instead of materialized logits when
+    ``config.use_fused_lm_head`` is set, so the beam search can fuse the
+    matmul with candidate selection (see ``lm_head_stats``)."""
+
+    hidden: jnp.ndarray  # [N, D], head scale pre-applied
+    emb: jnp.ndarray  # [V, D]
+
+    @property
+    def shape(self):
+        return (self.hidden.shape[0], self.emb.shape[0])
+
+    def materialize(self) -> jnp.ndarray:
+        return jnp.einsum("nd,vd->nv", self.hidden, self.emb,
+                          preferred_element_type=jnp.float32)
+
+
+def _kernel(x_ref, e_ref, mask_ref, logits_ref, m_ref, l_ref, cmax_ref,
+            m_run, s_run, *, v: int, vt: int, n_tiles: int):
+    g = pl.program_id(0)
+    x = x_ref[...]  # [N, D]
+    lt = jax.lax.dot_general(
+        x, e_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, Vt]
+    n = lt.shape[0]
+    col = g * vt + jax.lax.broadcasted_iota(jnp.int32, (n, vt), 1)
+    valid = col < v
+    lt = jnp.where(valid, lt, -jnp.inf)  # pad cols dead for max/sum/chunks
+    logits_ref[...] = lt
+
+    # masked per-chunk max (stage 1 of the two-stage candidate top-k)
+    banned = mask_ref[...] != 0
+    lt_m = jnp.where(banned, -jnp.inf, lt)
+    cmax_ref[...] = jnp.max(lt_m.reshape(n, vt // CHUNK, CHUNK), axis=-1)
+
+    # online max/logsumexp over the RAW (unmasked) logits
+    tile_m = jnp.max(lt, axis=-1, keepdims=True)  # [N, 1]
+    tile_s = lambda m_new: jnp.sum(jnp.exp(lt - m_new), axis=-1, keepdims=True)
+
+    @pl.when(g == 0)
+    def _init():
+        m_run[...] = tile_m
+        s_run[...] = tile_s(tile_m)
+
+    @pl.when(g > 0)
+    def _update():
+        m_new = jnp.maximum(m_run[...], tile_m)
+        s_run[...] = s_run[...] * jnp.exp(m_run[...] - m_new) + tile_s(m_new)
+        m_run[...] = m_new
+
+    @pl.when(g == n_tiles - 1)
+    def _finish():
+        m_ref[...] = m_run[...]
+        l_ref[...] = jnp.log(s_run[...])
+
+
+@functools.partial(jax.jit, static_argnames=("vt", "interpret"))
+def lm_head_stats(hidden, emb, mask, vt: int | None = None,
+                  interpret: bool = False):
+    """hidden [N, D] (head scale applied), emb [V, D], mask [N, V] (nonzero =
+    banned from selection; typically ngram bans | min-length eos mask).
+
+    Returns (logits [N, V] f32, m [N] f32 row max, L [N] f32 logsumexp,
+    cmax [N, ceil(V/128)] f32 per-chunk masked max).
+
+    V need not divide the vocab tile ``vt``: the grid is ceil(V/vt) and the
+    ragged final block's out-of-bounds lanes are garbage on input (masked by
+    the kernel's ``col < v`` guard before every use) and cropped on output —
+    no host-visible padding, so nothing loop-variant-looking rides into the
+    decode while_loop (an explicit 33 MB emb pad would re-run per step if
+    XLA declined to hoist it).
+    """
+    n, d = hidden.shape
+    v = emb.shape[0]
+    assert v % CHUNK == 0, v  # chunk boundaries must align (beam_search gates)
+    if vt is None:
+        vt = min(2048, v)
+    n_tiles = -(-v // vt)
+
+    logits, m, l_, cmax = pl.pallas_call(
+        functools.partial(_kernel, v=v, vt=vt, n_tiles=n_tiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, d), lambda g: (0, 0)),
+            pl.BlockSpec((vt, d), lambda g: (g, 0)),
+            pl.BlockSpec((n, vt), lambda g: (0, g)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, vt), lambda g: (0, g)),
+            pl.BlockSpec((n, 1), lambda g: (0, 0)),
+            pl.BlockSpec((n, 1), lambda g: (0, 0)),
+            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, v), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(hidden, emb, mask.astype(jnp.int8))
+    return logits, m[:, 0], l_[:, 0], cmax

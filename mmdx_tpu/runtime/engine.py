@@ -110,6 +110,11 @@ class InferenceEngine:
                 report=dataclasses.replace(
                     model_config.report, use_fused_beam_attn=True,
                     use_fused_cross_ffn=True,
+                    # streaming lm_head+selection (ops/pallas_lm_head):
+                    # MMDX_FUSED_LM_HEAD=0 reverts to the dense chain
+                    use_fused_lm_head=(
+                        os.environ.get("MMDX_FUSED_LM_HEAD", "1") != "0"
+                    ),
                     # int8 beam KV cache: halves the decode loop's dominant
                     # HBM stream; outputs differ at quantization-noise level
                     # (tests/test_kv_int8.py) so it rides the same opt-in
