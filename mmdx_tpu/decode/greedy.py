@@ -9,7 +9,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mmdx_tpu.decode.ngram import ban_repeated_ngrams
+from mmdx_tpu.decode.ngram import ban_repeated_ngrams, banned_ngram_mask
 
 
 class GreedyState(NamedTuple):
@@ -54,16 +54,41 @@ def greedy_decode(
         return (s.cur_len < lmax) & ~jnp.all(s.finished)
 
     def body(s):
+        from mmdx_tpu.ops.pallas_lm_head import (
+            CHUNK, LazyLogits, lm_head_greedy,
+        )
+
         cur = s.cur_len
         last = jnp.take_along_axis(s.seqs, (cur - 1)[None, None].repeat(b, 0), axis=1)
         logits, cache = step_fn(last, cur - 1, s.cache)
-        logprobs = logits.astype(jnp.float32)
-        logprobs = jnp.where(
-            (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :], -jnp.inf, logprobs
-        )
-        if no_repeat_ngram_size:
-            logprobs = ban_repeated_ngrams(logprobs, s.seqs, cur, no_repeat_ngram_size)
-        tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+        if isinstance(logits, LazyLogits) and v % CHUNK == 0 and v >= 2 * CHUNK:
+            # streaming selection: the [B, V] logits never touch HBM —
+            # lm_head matmul + masked chunk max/argmax in one Pallas pass
+            # (argmax(log_softmax(x)) == argmax(x), so no logsumexp needed;
+            # tie order identical to the dense argmax, tests/test_lm_head.py)
+            mask = jnp.broadcast_to(
+                (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :],
+                (b, v),
+            )
+            if no_repeat_ngram_size:
+                mask = mask | banned_ngram_mask(s.seqs, cur, v,
+                                                no_repeat_ngram_size)
+            cmax, carg = lm_head_greedy(logits.hidden, logits.emb, mask)
+            best = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [B]
+            tok = best * CHUNK + jnp.take_along_axis(
+                carg, best[:, None], axis=1)[:, 0]
+        else:
+            if isinstance(logits, LazyLogits):
+                logits = logits.materialize()
+            logprobs = logits.astype(jnp.float32)
+            logprobs = jnp.where(
+                (cur < min_len) & (jnp.arange(v) == eos_token_id)[None, :],
+                -jnp.inf, logprobs,
+            )
+            if no_repeat_ngram_size:
+                logprobs = ban_repeated_ngrams(logprobs, s.seqs, cur,
+                                               no_repeat_ngram_size)
+            tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
         tok = jnp.where(s.finished, pad_token_id, tok)
         # vectorized iota==cur select: a dynamic_update_slice on the LANE dim
         # lowers near-serially on TPU (~10 us at serving shapes, round-3 trace)

@@ -572,6 +572,15 @@ class T5(nn.Module):
                                     bias_row, enc_bias)
             new_cache.append(lc)
         hidden = self.decoder_final_ln(hidden)
+        cfg = self.config
+        if cfg.use_fused_lm_head and cfg.tie_word_embeddings:
+            # defer the lm_head: greedy decode fuses it with masked argmax
+            # selection in one Pallas pass (ops/pallas_lm_head.lm_head_greedy)
+            from mmdx_tpu.ops.pallas_lm_head import LazyLogits
+
+            return LazyLogits(
+                hidden[:, 0] * (cfg.d_model**-0.5), self.shared.embedding
+            ), new_cache
         return self._lm_logits(hidden)[:, 0], new_cache
 
     def decode_step_beam(self, token_ids, pos, cache, anc, static_kv,

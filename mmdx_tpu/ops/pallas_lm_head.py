@@ -95,6 +95,68 @@ def _kernel(x_ref, e_ref, mask_ref, logits_ref, m_ref, l_ref, cmax_ref,
         l_ref[...] = jnp.log(s_run[...])
 
 
+def _greedy_kernel(x_ref, e_ref, mask_ref, cmax_ref, carg_ref, *, v: int,
+                   vt: int):
+    """Greedy variant: per-chunk max + within-chunk argmax of MASKED logits,
+    nothing else — the [B, V] logits never exist anywhere (greedy needs no
+    logsumexp: argmax(log_softmax(x)) == argmax(x))."""
+    g = pl.program_id(0)
+    lt = jax.lax.dot_general(
+        x_ref[...], e_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, Vt]
+    n = lt.shape[0]
+    col = g * vt + jax.lax.broadcasted_iota(jnp.int32, (n, vt), 1)
+    lt = jnp.where((col < v) & (mask_ref[...] == 0), lt, -jnp.inf)
+    c = vt // CHUNK
+    lt3 = lt.reshape(n, c, CHUNK)
+    cmax = jnp.max(lt3, axis=-1)  # [N, C]
+    off = jax.lax.broadcasted_iota(jnp.int32, (n, c, CHUNK), 2)
+    # earliest within-chunk offset achieving the max (ties like jnp.argmax)
+    carg = jnp.min(jnp.where(lt3 == cmax[..., None], off, CHUNK), axis=-1)
+    cmax_ref[...] = cmax
+    carg_ref[...] = jnp.minimum(carg, CHUNK - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("vt", "interpret"))
+def lm_head_greedy(hidden, emb, mask, vt: int | None = None,
+                   interpret: bool = False):
+    """Streamed greedy selection statistics: (cmax [N, V/128] f32 masked
+    per-chunk max, carg [N, V/128] i32 within-chunk argmax offset). The
+    caller picks ``chunk* = argmax(cmax)`` and
+    ``token = chunk* * 128 + carg[chunk*]`` — identical (incl. tie order) to
+    ``argmax(where(mask, -inf, hidden @ emb.T))``."""
+    n, d = hidden.shape
+    v = emb.shape[0]
+    assert v % CHUNK == 0, v
+    if vt is None:
+        vt = min(2048, v)
+    n_tiles = -(-v // vt)
+
+    cmax, carg = pl.pallas_call(
+        functools.partial(_greedy_kernel, v=v, vt=vt),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, d), lambda g: (0, 0)),
+            pl.BlockSpec((vt, d), lambda g: (g, 0)),
+            pl.BlockSpec((n, vt), lambda g: (0, g)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
+            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(hidden, emb, mask.astype(jnp.int8))
+    return cmax, carg
+
+
 @functools.partial(jax.jit, static_argnames=("vt", "interpret"))
 def lm_head_stats(hidden, emb, mask, vt: int | None = None,
                   interpret: bool = False):

@@ -87,6 +87,68 @@ def test_fused_candidate_topk_lazy_matches_dense(mask_eos):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_lm_head_greedy_matches_dense_argmax():
+    from mmdx_tpu.ops.pallas_lm_head import lm_head_greedy
+
+    rng = np.random.default_rng(4)
+    n, d, v = 8, 16, 640  # ragged final tile at vt=256
+    hidden = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((n, v)) < 0.3)
+
+    with pltpu.force_tpu_interpret_mode():
+        cmax, carg = lm_head_greedy(hidden, emb, mask, vt=256)
+    best = np.argmax(np.asarray(cmax), axis=-1)
+    tok = best * CHUNK + np.asarray(carg)[np.arange(n), best]
+    dense = np.where(np.asarray(mask), -np.inf,
+                     np.asarray(hidden) @ np.asarray(emb).T)
+    np.testing.assert_array_equal(tok, dense.argmax(-1))
+
+
+def test_greedy_decode_fused_lm_head_end_to_end():
+    """Greedy decode with use_fused_lm_head: identical tokens to the dense
+    chain on a 256-vocab T5."""
+    from mmdx_tpu.config import ReportDecoderConfig
+    from mmdx_tpu.decode.greedy import greedy_decode
+    from mmdx_tpu.models.t5 import T5
+
+    cfg = ReportDecoderConfig(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout=0.0,
+    )
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 5)))
+    variables = T5(config=cfg).init(
+        jax.random.PRNGKey(0), ids, jnp.ones((2, 5), jnp.int32), ids)
+
+    B, K = 3, 4
+    lmax = 1 + 12
+    cond = jnp.asarray(
+        rng.standard_normal((B, K, cfg.d_model)).astype(np.float32) * 2.0)
+    enc_mask = jnp.ones((B, K), jnp.int32)
+
+    outs = {}
+    for fused in (False, True):
+        c = dataclasses.replace(cfg, use_fused_lm_head=fused)
+        model = T5(config=c)
+        cache, static_kv = model.apply(variables, B, lmax, cond,
+                                       method=T5.init_cache)
+        self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+
+        def step_fn(tokens, pos, c_, _m=model):
+            return _m.apply(variables, tokens, pos, c_, static_kv,
+                            self_bias, enc_mask, method=T5.decode_step)
+
+        with pltpu.force_tpu_interpret_mode():
+            outs[fused] = np.asarray(greedy_decode(
+                step_fn, cache, batch=B, vocab_size=c.vocab_size,
+                max_new_tokens=12, min_new_tokens=4, no_repeat_ngram_size=3,
+                eos_token_id=1, pad_token_id=0, decoder_start_token_id=0))
+
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_beam_search_fused_lm_head_end_to_end():
     """Full beam search with use_fused_lm_head on a 256-vocab T5: token
     sequences identical to the dense-chain run (random weights, no ties)."""
