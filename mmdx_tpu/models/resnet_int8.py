@@ -110,7 +110,8 @@ def _maxpool_nonneg(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
 
-def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32):
+def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32,
+                   percentile: float | None = None):
     """Reference forward over the folded stack (f32 by default).
 
     Returns (pooled [B, 2048] features, sites) — sites maps every calibration
@@ -118,12 +119,24 @@ def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32):
     is both the calibration pass and the numerics oracle for the int8 tests;
     ``compute_dtype=bfloat16`` (with a bf16-cast folded tree) gives the
     serving-precision comparator used by scripts/bench_int8_tower.py.
+
+    ``percentile`` (e.g. 99.9) records that quantile of |tensor| instead of
+    the max: a handful of activation outliers otherwise stretch the whole
+    int8 grid and waste resolution on values that occur once per million
+    (standard percentile/clipping PTQ calibration; the requant epilogue
+    saturates clipped values at +-127, so the tail is bounded, not wrapped).
     """
     sites = {}
 
     def tap(name, v):
         if collect:
-            sites[name] = jnp.max(jnp.abs(v)).astype(jnp.float32)
+            a = jnp.abs(v)
+            if percentile is None:
+                sites[name] = jnp.max(a).astype(jnp.float32)
+            else:
+                sites[name] = jnp.quantile(
+                    a.astype(jnp.float32).reshape(-1), percentile / 100.0
+                )
         return v
 
     x = x.astype(compute_dtype)
@@ -149,12 +162,14 @@ def folded_forward(folded, x, collect: bool = False, compute_dtype=jnp.float32):
     return jnp.mean(x, axis=(1, 2)), sites
 
 
-def calibrate_backbone(variables, images) -> dict[str, float]:
+def calibrate_backbone(variables, images,
+                       percentile: float | None = None) -> dict[str, float]:
     """Run the folded f32 tower over a representative PREPROCESSED batch
     (NHWC, ImageNet-normalized — i.e. the exact serving input) and return
     {site: amax} as plain floats, suitable for persisting in a bundle.
 
     variables: the full model variables dict ({'params', 'batch_stats'}).
+    percentile: clip calibration (see ``folded_forward``); None = amax.
     """
     bp = variables["params"]["image_encoder"]["backbone"]
     bs = variables["batch_stats"]["image_encoder"]["backbone"]
@@ -162,7 +177,8 @@ def calibrate_backbone(variables, images) -> dict[str, float]:
     @jax.jit
     def run(bp, bs, x):
         folded = folded_backbone(bp, bs)
-        _, sites = folded_forward(folded, x, collect=True)
+        _, sites = folded_forward(folded, x, collect=True,
+                                  percentile=percentile)
         return sites
 
     sites = run(bp, bs, jnp.asarray(images))

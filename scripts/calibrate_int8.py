@@ -31,6 +31,11 @@ def main():
                     help="directory of calibration images (jpg/png)")
     ap.add_argument("--batch", type=int, default=32,
                     help="max calibration images")
+    ap.add_argument("--percentile", type=float, default=None,
+                    help="clip calibration at this |activation| percentile "
+                         "(e.g. 99.9) instead of amax; saturates outliers "
+                         "but spends the int8 grid on the bulk of the "
+                         "distribution")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -63,7 +68,8 @@ def main():
                          cfg.resize_size, cfg.mean, cfg.std)
         for p in paths
     ])
-    scales = calibrate_backbone(bundle.variables, jnp.asarray(batch))
+    scales = calibrate_backbone(bundle.variables, jnp.asarray(batch),
+                                percentile=args.percentile)
     bundle.metadata = dict(bundle.metadata or {})
     bundle.metadata["int8_scales"] = scales
     out = args.out or args.bundle

@@ -113,6 +113,43 @@ def test_s2d_stem_bit_exact():
     assert np.array_equal(np.asarray(direct), np.asarray(s2d))
 
 
+def test_percentile_calibration(bundle, images):
+    """Percentile scales are <= amax scales, cover all sites, and the
+    quantized tower stays within the feature guardrail; with a synthetic
+    outlier burned into one input pixel, percentile calibration beats amax
+    on the bulk of the distribution (the whole point of clipping)."""
+    v = bundle.variables
+    amax = calibrate_backbone(v, images)
+    p999 = calibrate_backbone(v, images, percentile=99.5)
+    assert sorted(p999) == sorted(calibration_sites())
+    assert all(p999[k] <= amax[k] * (1 + 1e-6) for k in amax)
+    assert any(p999[k] < amax[k] * 0.999 for k in amax)
+
+    # one absurd outlier pixel stretches the amax input grid ~8x; percentile
+    # calibration of the INPUT site ignores it, so every NON-outlier sample
+    # quantizes on a finer grid and lands closer to the f32 oracle
+    spiked = images.at[0, 0, 0, 0].set(50.0)
+    amax_s = calibrate_backbone(v, spiked)
+    p_s = calibrate_backbone(v, spiked, percentile=99.5)
+    assert amax_s["input"] >= 49.0
+    assert p_s["input"] < amax_s["input"] * 0.25
+
+    ref, _ = folded_forward(
+        folded_backbone(
+            v["params"]["image_encoder"]["backbone"],
+            v["batch_stats"]["image_encoder"]["backbone"],
+        ),
+        spiked,
+    )
+    err_amax = jnp.abs(
+        int8_backbone_apply(quantize_backbone(v, amax_s), spiked)[1:] - ref[1:]
+    ).mean()
+    err_pct = jnp.abs(
+        int8_backbone_apply(quantize_backbone(v, p_s), spiked)[1:] - ref[1:]
+    ).mean()
+    assert float(err_pct) < float(err_amax), (err_pct, err_amax)
+
+
 def test_quantize_requires_all_sites(bundle, images):
     scales = calibrate_backbone(bundle.variables, images)
     scales.pop("stem")
