@@ -67,6 +67,12 @@ class MicroBatcher:
         # default depth: 4 full batches queued before load shedding
         self.queue_depth = queue_depth or 4 * max_batch
         self._queue: queue.Queue[_Item] = queue.Queue(maxsize=self.queue_depth)
+        # observability counters (served by GET /api/stats/)
+        self._stats_lock = threading.Lock()
+        self._n_submitted = 0
+        self._n_shed = 0
+        self._n_batches = 0
+        self._batch_sizes_sum = 0
         # handoff between the classify and generate stages; depth 2 keeps one
         # batch generating while the next one's classify completes, without
         # letting classified batches pile up unboundedly
@@ -98,9 +104,13 @@ class MicroBatcher:
         try:
             self._queue.put_nowait(item)
         except queue.Full:
+            with self._stats_lock:
+                self._n_shed += 1
             raise BatcherSaturated(
                 f"input queue at capacity ({self.queue_depth})"
             ) from None
+        with self._stats_lock:
+            self._n_submitted += 1
         return item.future
 
     def infer(self, image, text: str, timeout: float | None = 30.0) -> dict:
@@ -144,6 +154,9 @@ class MicroBatcher:
                 images = [it.image for it in items] + [items[0].image] * (bucket - n)
                 texts = [it.text for it in items] + [items[0].text] * (bucket - n)
                 probs, z_img, z_txt = self.engine.classify_batch(images, texts)
+                with self._stats_lock:
+                    self._n_batches += 1
+                    self._batch_sizes_sum += n
                 if self.generate:
                     # hand off to the generate stage; blocks only when two
                     # classified batches are already waiting (bounded
@@ -198,6 +211,22 @@ class MicroBatcher:
                 "disease_vector": (probs[i] >= thresholds).astype(int).tolist(),
                 "model_version": self.engine.bundle.version,
             })
+
+    # -- observability -----------------------------------------------------
+    def stats(self) -> dict:
+        """Point-in-time batcher counters (for the /api/stats/ route)."""
+        with self._stats_lock:
+            n_sub, n_shed = self._n_submitted, self._n_shed
+            n_b, sizes = self._n_batches, self._batch_sizes_sum
+        return {
+            "submitted": n_sub,
+            "shed": n_shed,
+            "batches": n_b,
+            "mean_batch_size": round(sizes / n_b, 2) if n_b else None,
+            "queue_size": self._queue.qsize(),
+            "queue_depth": self.queue_depth,
+            "pipelined_generate": self.generate,
+        }
 
     # -- lifecycle ---------------------------------------------------------
     def stop(self, drain: bool = False, timeout: float = 30.0):

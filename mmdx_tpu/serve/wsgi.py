@@ -48,6 +48,13 @@ class DiagnosisApp:
         self._batcher = None
         self._lock = __import__("threading").Lock()
         self._static_dir = Path(__file__).resolve().parent / "frontend"
+        # /api/stats/ observability: status counters + a ring of recent
+        # predict latencies (the reference has no metrics surface at all;
+        # its registry metadata numbers are hardcoded examples, reference
+        # training_pipeline.py:1112)
+        self._stats_lock = __import__("threading").Lock()
+        self._status_counts: dict[str, int] = {}
+        self._latencies = __import__("collections").deque(maxlen=1024)
 
     # -- model plumbing -------------------------------------------------
     def _engine(self):
@@ -87,6 +94,8 @@ class DiagnosisApp:
                 return self._predict(environ, start_response)
             if path in ("/api/load-sample", "/api/load-sample/") and method == "POST":
                 return self._load_sample(start_response)
+            if path in ("/api/stats", "/api/stats/") and method == "GET":
+                return self._json(start_response, 200, self._stats())
             if method == "OPTIONS":
                 return self._json(start_response, 200, {})
             if method == "GET":
@@ -119,6 +128,48 @@ class DiagnosisApp:
         return environ["wsgi.input"].read(length) if length else b""
 
     def _predict(self, environ, start_response):
+        """Timing/status wrapper around the predict handler (feeds /api/stats/)."""
+        import time
+
+        status_cell = {}
+
+        def recording_start_response(status, headers, exc_info=None):
+            status_cell["code"] = status.split(" ", 1)[0]
+            if exc_info is not None:
+                return start_response(status, headers, exc_info)
+            return start_response(status, headers)
+
+        t0 = time.perf_counter()
+        try:
+            return self._predict_inner(environ, recording_start_response)
+        finally:
+            with self._stats_lock:
+                code = status_cell.get("code", "500")
+                self._status_counts[code] = self._status_counts.get(code, 0) + 1
+                if code == "200":
+                    self._latencies.append(time.perf_counter() - t0)
+
+    def _stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            counts = dict(self._status_counts)
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p / 100 * len(lat)))] * 1e3, 1)
+
+        return {
+            "engine_mode": self.engine_mode,
+            "predict_status_counts": counts,
+            "predict_latency_ms": {
+                "count": len(lat), "p50": pct(50), "p90": pct(90),
+                "p99": pct(99),
+            },
+            "batcher": self._batcher.stats() if self._batcher else None,
+        }
+
+    def _predict_inner(self, environ, start_response):
         from mmdx_tpu.serve.multipart import parse_boundary, parse_multipart
 
         ctype = environ.get("CONTENT_TYPE", "")

@@ -163,3 +163,32 @@ def test_predict_503_on_saturation(app, sample_image_paths, monkeypatch):
     assert status.startswith("503")
     assert headers.get("Retry-After") == "1"
     assert "capacity" in json.loads(payload)["error"]
+
+
+def test_stats_route(app, sample_image_paths):
+    """GET /api/stats/ reports status counts, latency percentiles, and live
+    batcher counters (observability surface; the reference has none — its
+    registry 'metrics' are hardcoded examples, training_pipeline.py:1112)."""
+    status, _, raw = call(app, "GET", "/api/stats/")
+    assert status.startswith("200")
+    before = json.loads(raw)
+    assert before["engine_mode"] == app.engine_mode
+
+    img = sample_image_paths[0].read_bytes()
+    body, ctype = multipart_body({"patient_details": "55F dyspnea"},
+                                 {"image": ("e1.jpg", img, "image/jpeg")})
+    ok_before = before["predict_status_counts"].get("200", 0)
+    status, _, _ = call(app, "POST", "/api/predict/", body, ctype)
+    assert status.startswith("200")
+    bad, ctype2 = multipart_body({"patient_details": "x"}, {})
+    call(app, "POST", "/api/predict/", bad, ctype2)  # a 400
+
+    status, _, raw = call(app, "GET", "/api/stats/")
+    after = json.loads(raw)
+    assert after["predict_status_counts"]["200"] == ok_before + 1
+    assert after["predict_status_counts"].get("400", 0) >= 1
+    lat = after["predict_latency_ms"]
+    assert lat["count"] >= 1 and lat["p50"] > 0 and lat["p99"] >= lat["p50"]
+    b = after["batcher"]
+    assert b["submitted"] >= 1 and b["batches"] >= 1
+    assert b["queue_depth"] > 0 and b["shed"] == 0
