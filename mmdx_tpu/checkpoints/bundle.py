@@ -233,7 +233,7 @@ def default_t5_vocab() -> tuple[dict[str, int], dict[int, float] | None]:
     return vocab, (scores or None)
 
 
-def bundle_from_torch(path_or_blob, t5_num_layers: int = 6) -> ModelBundle:
+def bundle_from_torch(path_or_blob, t5_num_layers: int | None = None) -> ModelBundle:
     """Import the reference's torch ``model_bundle.pt`` (reference :783-791).
 
     Weights convert exactly; tokenizers fall back to the shipped vocabs (the
@@ -269,7 +269,7 @@ def bundle_from_torch(path_or_blob, t5_num_layers: int = 6) -> ModelBundle:
 
 
 def bundle_from_torch_registry_dir(path: str | Path, version: int | None = None,
-                                   t5_num_layers: int = 6) -> ModelBundle:
+                                   t5_num_layers: int | None = None) -> ModelBundle:
     """Import the reference's Hopsworks model-registry directory layout:
     {``fusion_model.pt``, ``image_encoder.pt``, ``text_encoder.pt``,
     ``config.json``, optional ``t5_assets/``} — written by the reference's

@@ -102,7 +102,7 @@ def import_image_encoder(sd: Mapping[str, Any]) -> dict:
 # TextEncoderTransformer  (reference training_pipeline.py:348-508)
 #   encoder.* = HF BertModel, proj.*, classifier.*
 # ---------------------------------------------------------------------------
-def import_text_encoder(sd: Mapping[str, Any], num_layers: int = 12) -> dict:
+def import_text_encoder(sd: Mapping[str, Any], num_layers: int | None = None) -> dict:
     sd = to_numpy_tree(sd)
     p: dict[str, Any] = {"bert": import_hf_bert(sd, prefix="encoder.", num_layers=num_layers)}
     p["proj"] = {"kernel": _dense(sd["proj.weight"]), "bias": sd["proj.bias"]}
@@ -114,9 +114,21 @@ def import_text_encoder(sd: Mapping[str, Any], num_layers: int = 12) -> dict:
     return {"params": p}
 
 
-def import_hf_bert(sd: Mapping[str, Any], prefix: str = "", num_layers: int = 12) -> dict:
-    """HF BertModel state_dict -> our models/bert.py param tree."""
+def _count_layers(sd: Mapping[str, Any], pattern: str) -> int:
+    """Number of distinct layer indices matching ``pattern.format(i)``."""
+    n = 0
+    while any(k.startswith(pattern.format(n)) for k in sd):
+        n += 1
+    return n
+
+
+def import_hf_bert(sd: Mapping[str, Any], prefix: str = "",
+                   num_layers: int | None = None) -> dict:
+    """HF BertModel state_dict -> our models/bert.py param tree.
+    ``num_layers=None`` infers the depth from the keys."""
     sd = to_numpy_tree(sd)
+    if num_layers is None:
+        num_layers = _count_layers(sd, prefix + "encoder.layer.{}.")
 
     def g(key):
         return sd[prefix + key]
@@ -155,7 +167,7 @@ def import_hf_bert(sd: Mapping[str, Any], prefix: str = "", num_layers: int = 12
 #   fusion_mlp.0 (linear), fusion_mlp.3 (layernorm), disease_head,
 #   cond_proj.0 (linear), report_model.* (HF T5ForConditionalGeneration)
 # ---------------------------------------------------------------------------
-def import_fusion(sd: Mapping[str, Any], num_layers: int = 6) -> dict:
+def import_fusion(sd: Mapping[str, Any], num_layers: int | None = None) -> dict:
     sd = to_numpy_tree(sd)
     p: dict[str, Any] = {
         "fuse_dense": {"kernel": _dense(sd["fusion_mlp.0.weight"]), "bias": sd["fusion_mlp.0.bias"]},
@@ -171,9 +183,13 @@ def import_fusion(sd: Mapping[str, Any], num_layers: int = 6) -> dict:
     return {"params": p}
 
 
-def import_hf_t5(sd: Mapping[str, Any], prefix: str = "", num_layers: int = 6) -> dict:
-    """HF T5ForConditionalGeneration state_dict -> our models/t5.py param tree."""
+def import_hf_t5(sd: Mapping[str, Any], prefix: str = "",
+                 num_layers: int | None = None) -> dict:
+    """HF T5ForConditionalGeneration state_dict -> our models/t5.py param tree.
+    ``num_layers=None`` infers the depth from the keys."""
     sd = to_numpy_tree(sd)
+    if num_layers is None:
+        num_layers = _count_layers(sd, prefix + "decoder.block.{}.")
 
     def g(key):
         return sd[prefix + key]
