@@ -1,0 +1,29 @@
+#!/bin/bash
+# One-shot on-chip measurement batch for round 3 (run when the axon tunnel
+# is up). Each step is independently time-boxed; logs land in /tmp/r3/.
+set -u
+mkdir -p /tmp/r3
+cd "$(dirname "$0")/.."
+
+echo "== 1/5 headline bench (turbo + gen tiers)"
+timeout 3000 python bench.py > /tmp/r3/bench.json 2> /tmp/r3/bench.err
+tail -1 /tmp/r3/bench.json || true
+
+echo "== 2/5 int8 tower A/B + trace (s2d stem check)"
+timeout 1800 python scripts/bench_int8_tower.py > /tmp/r3/int8_tower.log 2>&1
+tail -5 /tmp/r3/int8_tower.log || true
+
+echo "== 3/5 int8 text tower A/B"
+timeout 1800 python scripts/bench_int8_text.py > /tmp/r3/int8_text.log 2>&1
+tail -5 /tmp/r3/int8_text.log || true
+
+echo "== 4/5 clean beam/greedy measure (UNCONTENDED — nothing else running)"
+timeout 1800 python scripts/bench_beam.py > /tmp/r3/beam.log 2>&1
+tail -5 /tmp/r3/beam.log || true
+
+echo "== 5/5 concurrent serving load (32 clients, beam gen)"
+timeout 1800 python scripts/bench_serving.py --clients 32 --seconds 30 \
+  --mode turbo > /tmp/r3/serving.log 2>&1
+tail -10 /tmp/r3/serving.log || true
+
+echo "done; logs in /tmp/r3/"
