@@ -35,6 +35,8 @@ engine only uses this path in the opt-in ``mode="turbo"``.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
@@ -199,18 +201,25 @@ def quantize_backbone(variables, act_scales: dict[str, float],
     bp = variables["params"]["image_encoder"]["backbone"]
     bs = variables["batch_stats"]["image_encoder"]["backbone"]
 
-    def qconv(w, b):
+    def qconv(w, b, s2d: bool = False):
         ws = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
         wi = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
-        return {"w": wi, "ws": ws, "b": b}
+        d = {"w": wi, "ws": ws, "b": b}
+        if s2d:
+            # space-to-depth form precomputed HERE so the rearrange never
+            # runs inside the serving loop (it would be 9-16 update-slices
+            # per call if done at apply time)
+            d["w_s2d"] = _s2d_weights(wi)
+        return d
 
     folded = folded_backbone(bp, bs, eps)
-    q = {}
-    for name, tree in folded.items():
-        if name == "stem":
-            q["stem"] = qconv(*tree)
-        else:
-            q[name] = {k: qconv(*v) for k, v in tree.items()}
+    q = {"stem": qconv(*folded["stem"], s2d=True)}
+    for name, stage, block in _block_names():
+        tree = folded[name]
+        q[name] = {
+            k: qconv(*v, s2d=(k == "conv2" and stage > 0 and block == 0))
+            for k, v in tree.items()
+        }
     missing = [s for s in calibration_sites() if s not in act_scales]
     if missing:
         raise ValueError(f"act_scales missing calibration sites: {missing[:4]}")
@@ -251,27 +260,42 @@ def _requant(y_f32, s):
     return jnp.clip(jnp.round(y_f32 / s), -127, 127).astype(jnp.int8)
 
 
-def _s2d_stem_weights(w):
-    """Rearrange the int8 7x7 stride-2 stem kernel into its space-to-depth
-    form: a 4x4 STRIDE-1 kernel over 2x2-packed (12-channel) input.
+def _s2d_weights(w):
+    """Rearrange an ODD-k stride-2 "SAME" conv kernel into its space-to-depth
+    form: a ceil((k+1)/2)-tap STRIDE-1 kernel over 2x2-packed (4*ci-channel)
+    input.
 
-    Output row o of the stride-2 conv reads input rows i = 2o + ky - 3,
-    ky in [0, 7). In super-row coordinates (S[r] packs rows 2r, 2r+1):
-    r - o = (ky + 1) // 2 - 2 in {-2..1} and parity p = (ky + 1) % 2, so the
-    7 taps land in a 4x4 window with slot (kr=0, p=0) structurally zero.
-    Same multiplies, same s32 sums -> bit-exact, but the input tensor
-    presents 12 channels instead of 3 (XLA's int8 conv tiling pads C=3
-    ~3x; measured stem 2.03 ms at B=512, ~240 GB/s effective)."""
+    With pad q = (k-1)//2 (odd for k = 7 or 3), output row o of the stride-2
+    conv reads input rows i = 2o + ky - q, ky in [0, k). In super-row
+    coordinates (S[r] packs rows 2r, 2r+1): kr = (ky + 1) // 2 and parity
+    p = (ky + 1) % 2, so the k taps land in a (k+1)/2 + (k==7) window with
+    slot (kr=0, p=0) structurally zero. Same multiplies, same s32 sums ->
+    bit-exact, but the input tensor presents 4x the channels (XLA's int8
+    conv tiling pads C=3 ~3x at the stem — measured 2.03 ms at B=512,
+    ~240 GB/s effective — and runs the 3x3 s2 stage-boundary convs at only
+    ~188 TF/s). Use stride 1 and padding [(2, 1), (2, 1)] for k=7,
+    [(1, 0), (1, 0)] for k=3."""
     kh, kw, ci, co = w.shape
-    assert (kh, kw) == (7, 7), (kh, kw)
-    w2 = jnp.zeros((4, 4, 4 * ci, co), w.dtype)
-    for ky in range(7):
+    assert kh == kw and kh in (3, 7), (kh, kw)
+    n = (kh + 1 + 1) // 2  # taps in super-row space: 7 -> 4, 3 -> 2
+    w2 = jnp.zeros((n, n, 4 * ci, co), w.dtype)
+    for ky in range(kh):
         kr, py = (ky + 1) // 2, (ky + 1) % 2
-        for kx in range(7):
+        for kx in range(kw):
             kc, px = (kx + 1) // 2, (kx + 1) % 2
             cbase = (py * 2 + px) * ci
             w2 = w2.at[kr, kc, cbase:cbase + ci, :].set(w[ky, kx])
     return w2
+
+
+_S2D_PAD = {7: [(2, 1), (2, 1)], 3: [(1, 0), (1, 0)]}
+
+def _s2d_conv2_enabled() -> bool:
+    """Conv2 s2d rewrite gate — read at TRACE time (callers toggling it must
+    build a fresh jit; scripts/bench_int8_tower.py does). Default off until
+    the on-chip A/B proves the packing transpose costs less than the conv
+    saves (NOTES.md measured-first rule)."""
+    return os.environ.get("MMDX_INT8_S2D_CONV2", "0") != "0"
 
 
 def _space_to_depth2(x):
@@ -293,17 +317,17 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
     xi = _requant(x.astype(jnp.float32), s_in)
 
     stem = q["stem"]
-    if xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0:
+    if "w_s2d" in stem and xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0:
         # bit-exact space-to-depth form of the 7x7 s2 stem (see
-        # _s2d_stem_weights); the s2d transpose fuses into the input
+        # _s2d_weights); the s2d transpose fuses into the input
         # requant, and the conv reads 12 channels instead of pad-heavy 3
         xs = _space_to_depth2(xi)
-        w2 = {"w": _s2d_stem_weights(stem["w"])}
+        w2 = stem["w_s2d"]
         dn = lax.conv_dimension_numbers(
-            xs.shape, w2["w"].shape, ("NHWC", "HWIO", "NHWC")
+            xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC")
         )
         y = lax.conv_general_dilated(
-            xs, w2["w"], (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn,
+            xs, w2, (1, 1), _S2D_PAD[7], dimension_numbers=dn,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     else:
@@ -322,7 +346,28 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
         a = jax.nn.relu(a * (sx * d["conv1"]["ws"]) + d["conv1"]["b"])
         ai = _requant(a, s1)
 
-        a = _qconv(ai, d["conv2"], stride, [(1, 1), (1, 1)]).astype(jnp.float32)
+        if (
+            stride == 2 and _s2d_conv2_enabled() and "w_s2d" in d["conv2"]
+            and ai.shape[1] % 2 == 0 and ai.shape[2] % 2 == 0
+        ):
+            # same bit-exact space-to-depth rewrite for the stage-boundary
+            # 3x3 s2 convs (direct form measured at only ~188 TF/s; the 2x2
+            # s1 form over 4x channels tiles like a dense GEMM). Gated by
+            # MMDX_INT8_S2D_CONV2 until the A/B lands on-chip: the packing
+            # transpose is NOT free here (the input is a conv epilogue, not
+            # the requant of a host tensor).
+            xs = _space_to_depth2(ai)
+            dn = lax.conv_dimension_numbers(
+                xs.shape, d["conv2"]["w_s2d"].shape, ("NHWC", "HWIO", "NHWC")
+            )
+            a = lax.conv_general_dilated(
+                xs, d["conv2"]["w_s2d"], (1, 1), _S2D_PAD[3],
+                dimension_numbers=dn, preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            a = _qconv(
+                ai, d["conv2"], stride, [(1, 1), (1, 1)]
+            ).astype(jnp.float32)
         a = jax.nn.relu(a * (s1 * d["conv2"]["ws"]) + d["conv2"]["b"])
         ai = _requant(a, s2)
 

@@ -135,6 +135,29 @@ def main():
     print(f"[i8tower] int8 turbo tower ({tag}): {t_i8 * 1e3:.2f} ms/batch",
           file=sys.stderr, flush=True)
 
+    # A/B: space-to-depth rewrite of the three stage-boundary 3x3 s2 convs
+    # (bit-exact; flag default-off until this measurement wins on-chip)
+    import os
+
+    os.environ["MMDX_INT8_S2D_CONV2"] = "1"
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_int8_s2d2(q, x, salt0, iters: int):
+        def body(_, carry):
+            acc, salt = carry
+            xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
+            feats = apply_fn(q, xi)
+            s = jnp.sum(feats.astype(jnp.float32))
+            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
+        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
+        return acc
+
+    t_s2d2 = timed(loop_int8_s2d2, q, x)
+    os.environ.pop("MMDX_INT8_S2D_CONV2", None)
+    print(f"[i8tower] int8 turbo tower (s2d conv2): {t_s2d2 * 1e3:.2f} "
+          f"ms/batch ({'WIN' if t_s2d2 < t_i8 else 'lose'} "
+          f"{(t_i8 - t_s2d2) * 1e3:+.2f} ms)", file=sys.stderr, flush=True)
+
     if do_trace:
         log_dir = "/tmp/mmdx_i8_trace"
         jax.profiler.start_trace(log_dir)

@@ -88,29 +88,49 @@ def test_int8_features_close_to_f32(bundle, images):
     assert rel < 0.10, rel
 
 
-def test_s2d_stem_bit_exact():
-    """The space-to-depth stem form must reproduce the direct 7x7 stride-2
-    int8 conv EXACTLY (same s32 sums, rearranged)."""
+@pytest.mark.parametrize(
+    "k,ci,co,pad", [(7, 3, 64, 3), (3, 16, 32, 1)]
+)
+def test_s2d_stride2_conv_bit_exact(k, ci, co, pad):
+    """The space-to-depth form must reproduce the direct stride-2 int8 conv
+    EXACTLY (same s32 sums, rearranged) — 7x7 stem and 3x3 stage-boundary
+    cases."""
     import jax.lax as lax
 
-    from mmdx_tpu.models.resnet_int8 import _s2d_stem_weights, _space_to_depth2
+    from mmdx_tpu.models.resnet_int8 import (
+        _S2D_PAD, _s2d_weights, _space_to_depth2,
+    )
 
     rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.integers(-127, 128, (7, 7, 3, 64)), jnp.int8)
-    x = jnp.asarray(rng.integers(-127, 128, (2, 32, 32, 3)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (k, k, ci, co)), jnp.int8)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 32, 32, ci)), jnp.int8)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     direct = lax.conv_general_dilated(
-        x, w, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn,
+        x, w, (2, 2), [(pad, pad), (pad, pad)], dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
     xs = _space_to_depth2(x)
-    w2 = _s2d_stem_weights(w)
+    w2 = _s2d_weights(w)
     dn2 = lax.conv_dimension_numbers(xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
     s2d = lax.conv_general_dilated(
-        xs, w2, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn2,
+        xs, w2, (1, 1), _S2D_PAD[k], dimension_numbers=dn2,
         preferred_element_type=jnp.int32,
     )
     assert np.array_equal(np.asarray(direct), np.asarray(s2d))
+
+
+def test_s2d_conv2_path_exact_end_to_end(bundle, images, monkeypatch):
+    """MMDX_INT8_S2D_CONV2=1 must not change the quantized tower's output
+    AT ALL (the rewrite is exact in int32; epilogues see identical s32)."""
+    v = bundle.variables
+    scales = calibrate_backbone(v, images)
+    q = quantize_backbone(v, scales)
+    assert "w_s2d" in q["layer2_block0"]["conv2"]
+    assert "w_s2d" not in q["layer1_block0"]["conv2"]
+    base = int8_backbone_apply(q, images)
+    monkeypatch.setenv("MMDX_INT8_S2D_CONV2", "1")
+    got = jax.jit(int8_backbone_apply)(q, images)
+    assert np.array_equal(np.asarray(base), np.asarray(got))
 
 
 def test_percentile_calibration(bundle, images):
