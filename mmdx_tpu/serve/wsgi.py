@@ -55,6 +55,34 @@ class DiagnosisApp:
         self._stats_lock = __import__("threading").Lock()
         self._status_counts: dict[str, int] = {}
         self._latencies = __import__("collections").deque(maxlen=1024)
+        # first-request budget: cold jit compiles run 1-6 min on the remote-
+        # compile TPU path, far past the steady-state 30s; a timed-out
+        # request answers 503 + Retry-After (the work still completes and
+        # warms the cache), never a terminal 500
+        self.predict_timeout_s = float(os.getenv("MMDX_PREDICT_TIMEOUT_S", "120"))
+
+    def warmup_async(self):
+        """Compile the serving programs before traffic: push one dummy
+        request through the real batcher path (bucket-1 classify + the full
+        report decode) from a daemon thread. Callers that want cold-start
+        isolation run this at server boot (``main()`` does unless
+        MMDX_WARMUP=0); requests arriving meanwhile simply queue behind the
+        warmup batch."""
+        import threading
+
+        def run():
+            try:
+                img = Image.new("RGB", (64, 64), (128, 128, 128))
+                self._get_batcher().infer(img, "warmup", timeout=None)
+                print("[mmdx] warmup complete (serving programs compiled)",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001 — warmup is best-effort
+                print(f"[mmdx] warmup failed: {type(e).__name__}: {e}",
+                      flush=True)
+
+        t = threading.Thread(target=run, daemon=True, name="mmdx-warmup")
+        t.start()
+        return t
 
     # -- model plumbing -------------------------------------------------
     def _engine(self):
@@ -201,12 +229,22 @@ class DiagnosisApp:
         from mmdx_tpu.runtime.batcher import BatcherSaturated
 
         try:
-            preds = self._get_batcher().infer(image_pil, patient_details)
+            preds = self._get_batcher().infer(
+                image_pil, patient_details, timeout=self.predict_timeout_s
+            )
         except BatcherSaturated as e:
             # bounded-queue backpressure: shed load instead of queueing
             # unboundedly (the reference has no equivalent; Django would
             # just stack threads)
             return self._json(start_response, 503, {"error": str(e)})
+        except TimeoutError:
+            # not a terminal failure: the batch is still computing (first
+            # request of a cold server pays the jit compile) — tell the
+            # client to come back, the result warms the compile cache
+            return self._json(start_response, 503, {
+                "error": "inference still in progress (server warming up "
+                         "or overloaded); retry shortly"
+            })
 
         raw_probs = preds.get("disease_probs") or {}
         diseases = []
@@ -315,6 +353,9 @@ def main():
     MMDX_MAX_BATCH (fused batch cap, default 32);
     MMDX_QUEUE_DEPTH (bounded request queue before 503s, default
     4*max_batch); MMDX_REQUEST_TIMEOUT_S (socket timeout, default 60);
+    MMDX_PREDICT_TIMEOUT_S (per-request inference budget, default 120 —
+    timeouts answer 503 + Retry-After, and the computed batch still warms
+    the cache); MMDX_WARMUP=0 to skip the boot-time compile warmup;
     MMDX_BUNDLE_PATH.
 
     SIGTERM/SIGINT drain the batcher (in-flight requests complete) before
@@ -345,6 +386,8 @@ def main():
 
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)
+    if os.getenv("MMDX_WARMUP", "1") == "1":
+        app.warmup_async()
     print(f"[mmdx] serving on http://0.0.0.0:{port} "
           f"(mode={app.engine_mode}, generate={app.generate_reports}, "
           f"threaded + pipelined micro-batcher, "

@@ -192,3 +192,34 @@ def test_stats_route(app, sample_image_paths):
     b = after["batcher"]
     assert b["submitted"] >= 1 and b["batches"] >= 1
     assert b["queue_depth"] > 0 and b["shed"] == 0
+
+
+def test_predict_timeout_is_503_not_500(app, sample_image_paths, monkeypatch):
+    """A predict that exceeds the per-request budget (cold compile, overload)
+    answers 503 + Retry-After — the batch is still computing and will warm
+    the cache; a 500 would mislead clients into treating it as terminal."""
+
+    class _Slow:
+        def infer(self, image, text, timeout=None):
+            raise TimeoutError()
+
+    monkeypatch.setattr(app, "_get_batcher", lambda: _Slow())
+    img_bytes = open(sample_image_paths[0], "rb").read()
+    body, ctype = multipart_body({"patient_details": "x"},
+                                 {"image": ("a.jpg", img_bytes, "image/jpeg")})
+    status, headers, payload = call(app, "POST", "/api/predict/", body, ctype)
+    assert status.startswith("503")
+    assert headers.get("Retry-After") == "1"
+    assert "retry" in json.loads(payload)["error"]
+
+
+def test_warmup_compiles_serving_path(app):
+    """warmup_async pushes a dummy request through the real batcher so the
+    first client never pays the jit compile; it must leave the batcher
+    healthy for subsequent traffic."""
+    t = app.warmup_async()
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert app._batcher is not None
+    before = app._batcher.stats()["batches"]
+    assert before >= 1  # the warmup batch itself ran
