@@ -281,10 +281,32 @@ def main():
                 log(f"[bench] int8-KV gen failed ({type(e).__name__}: {e})")
             finally:
                 os.environ.pop("MMDX_KV_INT8", None)
+        # warm single-request beam-4 report p50 (BASELINE.json's secondary
+        # metric is p50 end-to-end request latency; the report decode is
+        # ~96% of it — concurrent HTTP p50/p99 lives in bench_serving.py)
+        single_p50 = None
+        if os.environ.get("MMDX_BENCH_SINGLE", "1") != "0":
+            try:
+                z1_img, z1_txt = z_img[:1], z_txt[:1]
+                engine.generate_reports(z1_img, z1_txt, greedy=False)  # warm
+                lat = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    engine.generate_reports(z1_img, z1_txt, greedy=False)
+                    lat.append(time.perf_counter() - t0)
+                lat.sort()
+                single_p50 = round(lat[len(lat) // 2] * 1e3, 1)
+                log(f"[bench] warm single-request beam-4 report p50: "
+                    f"{single_p50} ms")
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] single-request latency failed "
+                    f"({type(e).__name__}: {e})")
         # full round-trip: every sample classified AND given a beam-4 report
         if "beam4" in rates:
             e2e = 1.0 / (1.0 / headline + 1.0 / rates["beam4"])
             gen_stats = {
+                **({"warm_single_beam4_report_p50_ms": single_p50}
+                   if single_p50 is not None else {}),
                 "beam4_reports_per_s_chip": round(rates["beam4"], 1),
                 "greedy_reports_per_s_chip": round(rates["greedy"], 1),
                 "beam4_gen_batch": gb,
