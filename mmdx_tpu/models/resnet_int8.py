@@ -317,7 +317,10 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
     xi = _requant(x.astype(jnp.float32), s_in)
 
     stem = q["stem"]
-    if "w_s2d" in stem and xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0:
+    if (
+        "w_s2d" in stem and xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0
+        and os.environ.get("MMDX_INT8_S2D_STEM", "1") != "0"
+    ):
         # bit-exact space-to-depth form of the 7x7 s2 stem (see
         # _s2d_weights); the s2d transpose fuses into the input
         # requant, and the conv reads 12 channels instead of pad-heavy 3

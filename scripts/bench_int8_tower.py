@@ -158,6 +158,28 @@ def main():
           f"ms/batch ({'WIN' if t_s2d2 < t_i8 else 'lose'} "
           f"{(t_i8 - t_s2d2) * 1e3:+.2f} ms)", file=sys.stderr, flush=True)
 
+    # A/B: stem s2d OFF (it defaults ON but landed during the outage —
+    # falsifiable here; flip the default if the direct 7x7 form wins)
+    os.environ["MMDX_INT8_S2D_STEM"] = "0"
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_int8_nostem(q, x, salt0, iters: int):
+        def body(_, carry):
+            acc, salt = carry
+            xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
+            feats = apply_fn(q, xi)
+            s = jnp.sum(feats.astype(jnp.float32))
+            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
+        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
+        return acc
+
+    t_nostem = timed(loop_int8_nostem, q, x)
+    os.environ.pop("MMDX_INT8_S2D_STEM", None)
+    print(f"[i8tower] int8 turbo tower (direct 7x7 stem): "
+          f"{t_nostem * 1e3:.2f} ms/batch (s2d stem "
+          f"{'WINS' if t_i8 < t_nostem else 'LOSES'} "
+          f"{(t_nostem - t_i8) * 1e3:+.2f} ms)", file=sys.stderr, flush=True)
+
     if do_trace:
         log_dir = "/tmp/mmdx_i8_trace"
         jax.profiler.start_trace(log_dir)
