@@ -26,4 +26,8 @@ timeout 1800 python scripts/bench_serving.py --clients 32 --seconds 30 \
   --mode turbo > /tmp/r3/serving.log 2>&1
 tail -10 /tmp/r3/serving.log || true
 
+echo "== 6/6 train-step throughput (joint fusion phase, B=32 bf16)"
+timeout 1800 python scripts/bench_train.py > /tmp/r3/train.log 2>&1
+tail -5 /tmp/r3/train.log || true
+
 echo "done; logs in /tmp/r3/"
