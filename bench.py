@@ -244,19 +244,30 @@ def main():
                 measure_gen(engine, name, greedy)
         except Exception as e:  # noqa: BLE001
             # never lose the whole bench to a decode-path kernel failure:
-            # retry once with the streaming lm_head off, then give up on gen
+            # peel the newest kernels off one at a time (streaming lm_head,
+            # then also the fused cross-attn+FFN half-step), then give up
             log(f"[bench] generation failed ({type(e).__name__}: {e}); "
                 f"retrying with MMDX_FUSED_LM_HEAD=0")
-            try:
-                os.environ["MMDX_FUSED_LM_HEAD"] = "0"
-                engine_fb = InferenceEngine(bundle, mode="fast")
-                for name, greedy in (("beam4", False), ("greedy", True)):
-                    measure_gen(engine_fb, name, greedy)
-            except Exception as e2:  # noqa: BLE001
-                log(f"[bench] generation fallback failed too "
-                    f"({type(e2).__name__}: {e2}); skipping gen metrics")
-            finally:
-                os.environ.pop("MMDX_FUSED_LM_HEAD", None)
+            fallbacks = (
+                {"MMDX_FUSED_LM_HEAD": "0"},
+                {"MMDX_FUSED_LM_HEAD": "0", "MMDX_FUSED_CROSS_FFN": "0"},
+            )
+            for fb in fallbacks:
+                try:
+                    os.environ.update(fb)
+                    engine_fb = InferenceEngine(bundle, mode="fast")
+                    for name, greedy in (("beam4", False), ("greedy", True)):
+                        measure_gen(engine_fb, name, greedy)
+                    engine = engine_fb  # single-request p50 reuses it
+                    break
+                except Exception as e2:  # noqa: BLE001
+                    log(f"[bench] generation fallback {fb} failed "
+                        f"({type(e2).__name__}: {e2})")
+                finally:
+                    for k in fb:
+                        os.environ.pop(k, None)
+            else:
+                log("[bench] all generation fallbacks failed; skipping gen")
         # turbo generation: int8 beam KV cache (exact decode above stays the
         # headline gen number; this is the opt-in quantized tier, guardrail
         # in tests/test_kv_int8.py)

@@ -109,7 +109,13 @@ class InferenceEngine:
                 # tests kept as a documented negative result.
                 report=dataclasses.replace(
                     model_config.report, use_fused_beam_attn=True,
-                    use_fused_cross_ffn=True,
+                    # fused cross-attn+FFN decoder half-step (ops/
+                    # pallas_t5_step): MMDX_FUSED_CROSS_FFN=0 reverts —
+                    # escape hatch for a kernel that postdates the last
+                    # on-chip run (bench.py's gen fallback uses it)
+                    use_fused_cross_ffn=(
+                        os.environ.get("MMDX_FUSED_CROSS_FFN", "1") != "0"
+                    ),
                     # streaming lm_head+selection (ops/pallas_lm_head):
                     # MMDX_FUSED_LM_HEAD=0 reverts to the dense chain
                     use_fused_lm_head=(
