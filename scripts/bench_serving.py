@@ -35,12 +35,27 @@ def main():
     ap.add_argument("--port", type=int, default=8901)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=8.0)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny-dims bundle + short gen (CPU smoke run)")
     args = ap.parse_args()
+
+    if args.small:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from mmdx_tpu.checkpoints.bundle import new_random_bundle
     from mmdx_tpu.serve.wsgi import make_app, make_server
 
-    bundle = new_random_bundle(seed=0)  # full-size model
+    bundle = new_random_bundle(seed=0, small=args.small)
+    if args.small:
+        import dataclasses
+
+        bundle.config = dataclasses.replace(
+            bundle.config, generation=dataclasses.replace(
+                bundle.config.generation, max_new_tokens=8, min_new_tokens=2,
+            ),
+        )
     app = make_app(
         bundle=bundle, engine_mode=args.mode,
         generate_reports=args.gen != "off", greedy=args.gen == "greedy",
