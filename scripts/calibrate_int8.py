@@ -36,7 +36,16 @@ def main():
                          "(e.g. 99.9) instead of amax; saturates outliers "
                          "but spends the int8 grid on the bulk of the "
                          "distribution")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to CPU (calibration is a one-off f32 "
+                         "pass; also avoids hanging on an unreachable "
+                         "accelerator backend)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     import numpy as np
