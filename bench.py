@@ -319,7 +319,8 @@ def main():
                 **({"warm_single_beam4_report_p50_ms": single_p50}
                    if single_p50 is not None else {}),
                 "beam4_reports_per_s_chip": round(rates["beam4"], 1),
-                "greedy_reports_per_s_chip": round(rates["greedy"], 1),
+                **({"greedy_reports_per_s_chip": round(rates["greedy"], 1)}
+                   if "greedy" in rates else {}),
                 "beam4_gen_batch": gb,
                 "e2e_classify_plus_beam4_report_per_s_chip": round(e2e, 1),
                 **({"beam4_int8kv_reports_per_s_chip":

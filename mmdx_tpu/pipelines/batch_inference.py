@@ -27,8 +27,6 @@ IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png", ".bmp")
 
 def run(engine, paths: list[Path], details: dict[str, str], batch: int,
         gen: str, out_fh) -> int:
-    import numpy as np
-
     n_done = 0
     for i in range(0, len(paths), batch):
         chunk = paths[i:i + batch]
@@ -42,18 +40,10 @@ def run(engine, paths: list[Path], details: dict[str, str], batch: int,
                 z_img, z_txt, greedy=(gen == "greedy")
             )
         dt = time.perf_counter() - t0
-        th = np.asarray(engine.thresholds, np.float32)
-        names = engine.bundle.class_names
         for j, p in enumerate(chunk):
-            out_fh.write(json.dumps({
-                "image": p.name,
-                "report_text": reports[j],
-                "disease_probs": {
-                    nm: float(probs[j][k]) for k, nm in enumerate(names)
-                },
-                "disease_vector": (probs[j] >= th).astype(int).tolist(),
-                "model_version": engine.bundle.version,
-            }) + "\n")
+            out_fh.write(json.dumps(
+                {"image": p.name, **engine.result_dict(probs[j], reports[j])}
+            ) + "\n")
         out_fh.flush()
         n_done += len(chunk)
         print(f"[batch-infer] {n_done}/{len(paths)} "

@@ -200,17 +200,8 @@ class MicroBatcher:
                         it.future.set_exception(e)
 
     def _resolve(self, items, probs, reports):
-        thresholds = self.engine.thresholds
-        names = self.engine.bundle.class_names
         for i, it in enumerate(items):
-            it.future.set_result({
-                "report_text": reports[i],
-                "disease_probs": {
-                    n: float(probs[i][j]) for j, n in enumerate(names)
-                },
-                "disease_vector": (probs[i] >= thresholds).astype(int).tolist(),
-                "model_version": self.engine.bundle.version,
-            })
+            it.future.set_result(self.engine.result_dict(probs[i], reports[i]))
 
     # -- observability -----------------------------------------------------
     def stats(self) -> dict:

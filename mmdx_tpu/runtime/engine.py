@@ -488,15 +488,24 @@ class InferenceEngine:
 
             gen = dataclasses.replace(gen, **gen_kwargs)
         probs, z_img, z_txt = self.classify_batch([image], [patient_details])
-        vector = (probs[0] >= self.thresholds).astype(int).tolist()
         report = ""
         if generate:
             report = self.generate_reports(z_img, z_txt, gen, greedy=greedy)[0]
+        return self.result_dict(probs[0], report)
+
+    def result_dict(self, probs_row, report_text: str) -> dict:
+        """The reference inference() output contract for ONE sample
+        (inference_pipeline.py:199-206) — the single place it is built
+        (engine.infer, the serving MicroBatcher, and the offline
+        batch-inference CLI all return exactly this)."""
         return {
-            "report_text": report,
+            "report_text": report_text,
             "disease_probs": {
-                name: float(probs[0][j]) for j, name in enumerate(self.bundle.class_names)
+                name: float(probs_row[j])
+                for j, name in enumerate(self.bundle.class_names)
             },
-            "disease_vector": vector,
+            "disease_vector": (
+                probs_row >= self.thresholds
+            ).astype(int).tolist(),
             "model_version": self.bundle.version,
         }

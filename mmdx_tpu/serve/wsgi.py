@@ -17,6 +17,7 @@ Env config mirrors the reference's: ``MMDX_BUNDLE_PATH``/``CXR_BUNDLE_PATH``
 from __future__ import annotations
 
 import base64
+import concurrent.futures
 import io
 import json
 import mimetypes
@@ -72,8 +73,15 @@ class DiagnosisApp:
 
         def run():
             try:
-                img = Image.new("RGB", (64, 64), (128, 128, 128))
-                self._get_batcher().infer(img, "warmup", timeout=None)
+                batcher = self._get_batcher()
+                # warm at the engine's CANONICAL square size: that is the
+                # exact program mixed-shape traffic canonicalizes to, and
+                # registering it as a "raw" shape coincides with the
+                # canonical shape instead of burning one of the
+                # max_raw_shapes jit slots on a size no client ever sends
+                size = getattr(batcher.engine, "canonical_size", 512)
+                img = Image.new("RGB", (size, size), (128, 128, 128))
+                batcher.infer(img, "warmup", timeout=None)
                 print("[mmdx] warmup complete (serving programs compiled)",
                       flush=True)
             except Exception as e:  # noqa: BLE001 — warmup is best-effort
@@ -237,7 +245,9 @@ class DiagnosisApp:
             # unboundedly (the reference has no equivalent; Django would
             # just stack threads)
             return self._json(start_response, 503, {"error": str(e)})
-        except TimeoutError:
+        except (TimeoutError, concurrent.futures.TimeoutError):
+            # both names: they only became aliases in Python 3.11, and
+            # pyproject supports >= 3.10
             # not a terminal failure: the batch is still computing (first
             # request of a cold server pays the jit compile) — tell the
             # client to come back, the result warms the compile cache
@@ -386,7 +396,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)
-    if os.getenv("MMDX_WARMUP", "1") == "1":
+    if os.getenv("MMDX_WARMUP", "1") != "0":
         app.warmup_async()
     print(f"[mmdx] serving on http://0.0.0.0:{port} "
           f"(mode={app.engine_mode}, generate={app.generate_reports}, "

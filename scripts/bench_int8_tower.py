@@ -97,16 +97,20 @@ def main():
         acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
         return acc
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop_int8(q, x, salt0, iters: int):
-        def body(_, carry):
-            acc, salt = carry
-            xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
-            feats = apply_fn(q, xi)
-            s = jnp.sum(feats.astype(jnp.float32))
-            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
-        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
-        return acc
+    def make_loop_int8():
+        # fresh jit object per A/B arm: re-traces int8_backbone_apply under
+        # whatever MMDX_INT8_S2D_* env the caller just flipped
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop_int8(q, x, salt0, iters: int):
+            def body(_, carry):
+                acc, salt = carry
+                xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
+                feats = apply_fn(q, xi)
+                s = jnp.sum(feats.astype(jnp.float32))
+                return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
+            acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
+            return acc
+        return loop_int8
 
     _salt = iter(range(1, 100000))
 
@@ -131,28 +135,16 @@ def main():
         t_bf16 = timed(loop_bf16, bp, bs, x)
         print(f"[i8tower] bf16 folded tower: {t_bf16 * 1e3:.2f} ms/batch",
               file=sys.stderr, flush=True)
-    t_i8 = timed(loop_int8, q, x)
+    t_i8 = timed(make_loop_int8(), q, x)
     print(f"[i8tower] int8 turbo tower ({tag}): {t_i8 * 1e3:.2f} ms/batch",
           file=sys.stderr, flush=True)
 
-    # A/B: space-to-depth rewrite of the three stage-boundary 3x3 s2 convs
-    # (bit-exact; flag default-off until this measurement wins on-chip)
     import os
 
+    # A/B: space-to-depth rewrite of the three stage-boundary 3x3 s2 convs
+    # (bit-exact; flag default-off until this measurement wins on-chip)
     os.environ["MMDX_INT8_S2D_CONV2"] = "1"
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop_int8_s2d2(q, x, salt0, iters: int):
-        def body(_, carry):
-            acc, salt = carry
-            xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
-            feats = apply_fn(q, xi)
-            s = jnp.sum(feats.astype(jnp.float32))
-            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
-        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
-        return acc
-
-    t_s2d2 = timed(loop_int8_s2d2, q, x)
+    t_s2d2 = timed(make_loop_int8(), q, x)
     os.environ.pop("MMDX_INT8_S2D_CONV2", None)
     print(f"[i8tower] int8 turbo tower (s2d conv2): {t_s2d2 * 1e3:.2f} "
           f"ms/batch ({'WIN' if t_s2d2 < t_i8 else 'lose'} "
@@ -161,19 +153,7 @@ def main():
     # A/B: stem s2d OFF (it defaults ON but landed during the outage —
     # falsifiable here; flip the default if the direct 7x7 form wins)
     os.environ["MMDX_INT8_S2D_STEM"] = "0"
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop_int8_nostem(q, x, salt0, iters: int):
-        def body(_, carry):
-            acc, salt = carry
-            xi = x + (salt % 2).astype(jnp.bfloat16) * 1e-3
-            feats = apply_fn(q, xi)
-            s = jnp.sum(feats.astype(jnp.float32))
-            return acc + s, (jnp.abs(s) * 1003.0).astype(jnp.int32) % 97
-        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0), salt0))
-        return acc
-
-    t_nostem = timed(loop_int8_nostem, q, x)
+    t_nostem = timed(make_loop_int8(), q, x)
     os.environ.pop("MMDX_INT8_S2D_STEM", None)
     print(f"[i8tower] int8 turbo tower (direct 7x7 stem): "
           f"{t_nostem * 1e3:.2f} ms/batch (s2d stem "
@@ -183,7 +163,7 @@ def main():
     if do_trace:
         log_dir = "/tmp/mmdx_i8_trace"
         jax.profiler.start_trace(log_dir)
-        float(loop_int8(q, x, jnp.int32(next(_salt)), iters=3))
+        float(make_loop_int8()(q, x, jnp.int32(next(_salt)), iters=3))
         jax.profiler.stop_trace()
         parse_trace(log_dir)
 

@@ -139,6 +139,19 @@ class _StageProbeEngine:
         self._log("generate_end", "gen")
         return ["report"] * int(z_img.shape[0])
 
+    def result_dict(self, probs_row, report_text):
+        # mirror InferenceEngine.result_dict (the batcher calls it per item)
+        return {
+            "report_text": report_text,
+            "disease_probs": {
+                n: float(probs_row[j])
+                for j, n in enumerate(self.bundle.class_names)
+            },
+            "disease_vector": (probs_row >= self.thresholds)
+            .astype(int).tolist(),
+            "model_version": self.bundle.version,
+        }
+
 
 def test_pipeline_overlap():
     """Batch 2's CLASSIFY must run while batch 1's GENERATE is still blocked —

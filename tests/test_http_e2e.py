@@ -76,20 +76,27 @@ def test_concurrent_predicts_fuse_over_http(served, sample_image_paths):
         {"patient_details": "61F cough"},
         {"image": ("e1.jpg", img, "image/jpeg")},
     )
-    # warm the size-4 bucket first so the concurrent probe isn't one long
-    # compile (conftest forces CPU; a new fused batch size compiles on
-    # first sight)
+    def round4():
+        results = [None] * 4
+
+        def hit(i):
+            results[i] = _post(f"{url}/api/predict/", body, ctype)[0]
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        return results
+
+    # warm rounds: compile every fused-batch bucket the probe can hit
+    # (1/2/4 — a new bucket size compiles on first sight under the CPU
+    # conftest, which would otherwise serialize the measured round into
+    # four bucket-1 batches and flake the fusing assert)
     _post(f"{url}/api/predict/", body, ctype)
+    assert round4() == [200, 200, 200, 200]
     before = app._batcher.stats()["batches"]
-    results = [None] * 4
-    def hit(i):
-        results[i] = _post(f"{url}/api/predict/", body, ctype)[0]
-    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=300)
-    assert results == [200, 200, 200, 200]
+    assert round4() == [200, 200, 200, 200]
     stats = app._batcher.stats()
     n_batches = stats["batches"] - before
     assert n_batches < 4, stats  # at least one fused batch
