@@ -71,8 +71,9 @@ def greedy_decode(
                 (b, v),
             )
             if no_repeat_ngram_size:
-                mask = mask | banned_ngram_mask(s.seqs, cur, v,
-                                                no_repeat_ngram_size)
+                nb = banned_ngram_mask(s.seqs, cur, v, no_repeat_ngram_size)
+                if nb is not None:  # None when Lmax < ngram size
+                    mask = mask | nb
             cmax, carg = lm_head_greedy(logits.hidden, logits.emb, mask)
             best = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [B]
             tok = best * CHUNK + jnp.take_along_axis(

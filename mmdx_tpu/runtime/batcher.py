@@ -168,14 +168,19 @@ class MicroBatcher:
                 for it in items:
                     if not it.future.done():
                         it.future.set_exception(e)
-        # signal the generate stage that no more handoffs are coming (best
-        # effort: on a non-drain stop the queue may be full and the generate
-        # stage is exiting on _stop anyway)
+        # signal the generate stage that no more handoffs are coming. The
+        # sentinel must be delivered RELIABLY: dropping it on queue.Full
+        # leaves the generate thread blocked on get() forever (it frees a
+        # slot every time it consumes a handoff, so retry while it lives)
         if self.generate:
-            try:
-                self._handoff.put(None, timeout=1.0)
-            except queue.Full:
-                pass
+            while True:
+                try:
+                    self._handoff.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    t = self._generate_thread
+                    if t is None or not t.is_alive():
+                        break
 
     # -- stage 2: generate -------------------------------------------------
     def _generate_loop(self):
@@ -238,7 +243,10 @@ class MicroBatcher:
         self._classify_thread.join(timeout=5)
         if self._generate_thread is not None:
             self._generate_thread.join(timeout=5)
-        # fail whatever is still queued
+        # fail whatever is still queued — both the input queue AND any
+        # classified batch stranded in the handoff (a non-drain stop's
+        # sentinel can be enqueued ahead of a handoff the classify thread
+        # adds afterwards; those futures must not hang their callers)
         err = BatcherSaturated("batcher stopped")
         while True:
             try:
@@ -247,3 +255,12 @@ class MicroBatcher:
                 break
             if not it.future.done():
                 it.future.set_exception(err)
+        while True:
+            try:
+                h = self._handoff.get_nowait()
+            except queue.Empty:
+                break
+            if h is not None:
+                for it in h.items:
+                    if not it.future.done():
+                        it.future.set_exception(err)

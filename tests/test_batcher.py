@@ -233,3 +233,48 @@ def test_graceful_stop_drains():
     except BatcherSaturated:
         raised = True
     assert raised
+
+
+def test_nondrain_stop_never_strands_classified_batches():
+    """A non-drain stop() must resolve (with an error) every future whose
+    batch was classified but not yet generated — including a handoff the
+    classify thread enqueues AFTER the shutdown sentinel, and handoffs
+    stranded when the sentinel could not be enqueued at all (full queue)."""
+    from mmdx_tpu.runtime.batcher import BatcherSaturated
+
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=1, max_wait_ms=1.0,
+                           generate=True, queue_depth=8)
+    futures = []
+    try:
+        # fill the pipeline: batch 1 blocks inside generate; two more
+        # classified batches fill both handoff slots; more wait in the queue
+        for i in range(5):
+            futures.append(batcher.submit("img", f"t{i}"))
+            threading.Event().wait(0.05)
+        for _ in range(200):
+            if ("generate_start", "gen") in engine.timeline:
+                break
+            threading.Event().wait(0.01)
+        stopper = threading.Thread(target=batcher.stop, daemon=True)
+        stopper.start()
+        threading.Event().wait(0.2)
+        gate.set()  # unblock the in-flight generation
+        stopper.join(timeout=30)
+        assert not stopper.is_alive(), "stop() hung"
+        # EVERY accepted future must be resolved one way or the other
+        for f in futures:
+            assert f.done() or f.exception(timeout=10) is not None
+        results, errors = 0, 0
+        for f in futures:
+            try:
+                f.result(timeout=10)
+                results += 1
+            except (BatcherSaturated, Exception):  # noqa: BLE001
+                errors += 1
+        assert results + errors == len(futures)
+        assert errors >= 1  # the stranded ones error rather than hang
+    finally:
+        gate.set()
+        batcher.stop()

@@ -195,3 +195,43 @@ def test_beam_search_fused_lm_head_end_to_end():
 
     np.testing.assert_array_equal(outs[True][0], outs[False][0])
     np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-4)
+
+
+def test_greedy_fused_short_buffer_ngram_regression():
+    """max_new_tokens=1 with no_repeat_ngram_size=3: the sequence buffer
+    (Lmax=2) is shorter than the ngram, banned_ngram_mask returns None, and
+    the streaming path must skip the OR instead of crashing at trace time."""
+    from mmdx_tpu.config import ReportDecoderConfig
+    from mmdx_tpu.decode.greedy import greedy_decode
+    from mmdx_tpu.models.t5 import T5
+
+    cfg = ReportDecoderConfig(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout=0.0,
+        use_fused_lm_head=True,
+    )
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 5)))
+    variables = T5(config=cfg).init(
+        jax.random.PRNGKey(0), ids, jnp.ones((2, 5), jnp.int32), ids)
+    model = T5(config=cfg)
+    B, K = 2, 4
+    lmax = 1 + 1
+    cond = jnp.asarray(
+        rng.standard_normal((B, K, cfg.d_model)).astype(np.float32))
+    enc_mask = jnp.ones((B, K), jnp.int32)
+    cache, static_kv = model.apply(variables, B, lmax, cond,
+                                   method=T5.init_cache)
+    self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+
+    def step_fn(tokens, pos, c_):
+        return model.apply(variables, tokens, pos, c_, static_kv,
+                           self_bias, enc_mask, method=T5.decode_step)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(greedy_decode(
+            step_fn, cache, batch=B, vocab_size=cfg.vocab_size,
+            max_new_tokens=1, min_new_tokens=1, no_repeat_ngram_size=3,
+            eos_token_id=1, pad_token_id=0, decoder_start_token_id=0))
+    assert out.shape == (B, 2)
