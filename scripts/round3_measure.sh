@@ -26,8 +26,15 @@ timeout 1800 python scripts/bench_serving.py --clients 32 --seconds 30 \
   --mode turbo > /tmp/r3/serving.log 2>&1
 tail -10 /tmp/r3/serving.log || true
 
-echo "== 6/6 train-step throughput (joint fusion phase, B=32 bf16)"
+echo "== 6/7 train-step throughput (joint fusion phase, B=32 bf16)"
 timeout 1800 python scripts/bench_train.py > /tmp/r3/train.log 2>&1
 tail -5 /tmp/r3/train.log || true
+
+echo "== 7/7 beam device trace (only if beam4 < 230/s — decision table)"
+beam=$(awk '/\[bench_beam\] beam4:/ {print int($3); exit}' /tmp/r3/beam.log)
+if [ "${beam:-0}" -lt 230 ]; then
+  timeout 1800 python scripts/trace_beam.py > /tmp/r3/beam_trace.log 2>&1
+  tail -12 /tmp/r3/beam_trace.log || true
+fi
 
 echo "done; logs in /tmp/r3/"
