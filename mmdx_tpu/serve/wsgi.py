@@ -61,6 +61,8 @@ class DiagnosisApp:
         # request answers 503 + Retry-After (the work still completes and
         # warms the cache), never a terminal 500
         self.predict_timeout_s = float(os.getenv("MMDX_PREDICT_TIMEOUT_S", "120"))
+        # readiness signal for orchestration, surfaced by /api/stats/
+        self._warmup_state = "off"
 
     def warmup_async(self):
         """Compile the serving programs before traffic: push one dummy
@@ -70,6 +72,8 @@ class DiagnosisApp:
         MMDX_WARMUP=0); requests arriving meanwhile simply queue behind the
         warmup batch."""
         import threading
+
+        self._warmup_state = "running"
 
         def run():
             try:
@@ -82,9 +86,11 @@ class DiagnosisApp:
                 size = getattr(batcher.engine, "canonical_size", 512)
                 img = Image.new("RGB", (size, size), (128, 128, 128))
                 batcher.infer(img, "warmup", timeout=None)
+                self._warmup_state = "done"
                 print("[mmdx] warmup complete (serving programs compiled)",
                       flush=True)
             except Exception as e:  # noqa: BLE001 — warmup is best-effort
+                self._warmup_state = f"failed: {type(e).__name__}"
                 print(f"[mmdx] warmup failed: {type(e).__name__}: {e}",
                       flush=True)
 
@@ -197,6 +203,7 @@ class DiagnosisApp:
 
         return {
             "engine_mode": self.engine_mode,
+            "warmup": self._warmup_state,
             "predict_status_counts": counts,
             "predict_latency_ms": {
                 "count": len(lat), "p50": pct(50), "p90": pct(90),
