@@ -82,9 +82,21 @@ class DiagnosisApp:
                 # exact program mixed-shape traffic canonicalizes to, and
                 # registering it as a "raw" shape coincides with the
                 # canonical shape instead of burning one of the
-                # max_raw_shapes jit slots on a size no client ever sends
+                # max_raw_shapes jit slots on a size no client ever sends.
+                # Use a PACKAGED SAMPLE X-RAY, not a flat synthetic: in
+                # turbo mode without persisted scales the FIRST batch
+                # calibrates the int8 tower, and a gray card would pin the
+                # activation grid to degenerate ranges
                 size = getattr(batcher.engine, "canonical_size", 512)
-                img = Image.new("RGB", (size, size), (128, 128, 128))
+                sample_dir = (Path(__file__).resolve().parent
+                              / "sample_data/sample_images")
+                samples = sorted(sample_dir.glob("*.jpg"))
+                if samples:
+                    img = Image.open(samples[0]).convert("RGB").resize(
+                        (size, size)
+                    )
+                else:
+                    img = Image.new("RGB", (size, size), (128, 128, 128))
                 batcher.infer(img, "warmup", timeout=None)
                 self._warmup_state = "done"
                 print("[mmdx] warmup complete (serving programs compiled)",
