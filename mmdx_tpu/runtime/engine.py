@@ -291,6 +291,15 @@ class InferenceEngine:
                 # the downsample-shortcut requant points): recalibrate
                 scales = None
             if not scales:
+                import sys
+
+                print(
+                    "[mmdx] turbo: no persisted int8_scales in the bundle — "
+                    "calibrating from the first batch "
+                    f"({len(images)} image(s)); for production scales run "
+                    "scripts/calibrate_int8.py on representative studies",
+                    file=sys.stderr, flush=True,
+                )
                 imgs = jnp.asarray(images)
                 if imgs.dtype == jnp.uint8:
                     imgs = jax.jit(lambda i: preprocess_batch_device(
