@@ -43,7 +43,12 @@ def parse_multipart(body: bytes, boundary: bytes) -> dict[str, Part]:
         for line in raw_headers.split(b"\r\n"):
             if b":" in line:
                 k, v = line.split(b":", 1)
-                headers[k.decode().strip().lower()] = v.decode().strip()
+                # latin-1 never raises: malformed header bytes from a broken
+                # client must surface as a 400 (no matching parts), not as a
+                # UnicodeDecodeError-turned-500
+                headers[k.decode("latin-1").strip().lower()] = (
+                    v.decode("latin-1").strip()
+                )
         disp = headers.get("content-disposition", "")
         name_m = re.search(r'name="([^"]*)"', disp)
         if not name_m:

@@ -223,3 +223,15 @@ def test_warmup_compiles_serving_path(app):
     assert app._batcher is not None
     before = app._batcher.stats()["batches"]
     assert before >= 1  # the warmup batch itself ran
+
+
+def test_multipart_malformed_bytes_is_400_not_500(app):
+    """Undecodable header bytes from a broken client parse leniently (no
+    matching parts) and surface as the 400 contract error, never a
+    UnicodeDecodeError-turned-500 (found by fuzzing)."""
+    body = (b"--testboundary123\r\nContent-Disposition: form-data; "
+            b"\x17\x14\xfeQ\xe0\x82\xff\xee}\r\n\r\nx\r\n--testboundary123--")
+    status, _, raw = call(app, "POST", "/api/predict/", body,
+                          "multipart/form-data; boundary=testboundary123")
+    assert status.startswith("400")
+    assert json.loads(raw)["error"] == "Missing 'image' file."
