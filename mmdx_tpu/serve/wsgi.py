@@ -241,10 +241,18 @@ class DiagnosisApp:
                 image_bytes = parts["image"].data
             patient_details = parts.get("patient_details").text if "patient_details" in parts else ""
         elif ctype.startswith("application/json"):
-            payload = json.loads(body or b"{}")
-            if payload.get("image_base64"):
-                image_bytes = base64.b64decode(payload["image_base64"])
+            try:
+                payload = json.loads(body or b"{}")
+                if payload.get("image_base64"):
+                    image_bytes = base64.b64decode(payload["image_base64"])
+            except (json.JSONDecodeError, ValueError, AttributeError):
+                # malformed JSON / invalid base64 / non-object payload are
+                # client errors, not 500s
+                return self._json(start_response, 400,
+                                  {"error": "Invalid JSON body."})
             patient_details = payload.get("patient_details", "")
+            if not isinstance(patient_details, str):
+                patient_details = str(patient_details)
 
         if not image_bytes:
             return self._json(start_response, 400, {"error": "Missing 'image' file."})

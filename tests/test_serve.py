@@ -235,3 +235,10 @@ def test_multipart_malformed_bytes_is_400_not_500(app):
                           "multipart/form-data; boundary=testboundary123")
     assert status.startswith("400")
     assert json.loads(raw)["error"] == "Missing 'image' file."
+
+
+def test_json_predict_malformed_is_400(app):
+    for body in (b"{not json", b'{"image_base64": "!!!notb64@@@"}', b"[1,2]"):
+        status, _, raw = call(app, "POST", "/api/predict/", body,
+                              "application/json")
+        assert status.startswith("400"), (body, status, raw)
