@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from mmdx_tpu.config import GenerationConfig
-from mmdx_tpu.decode.ngram import ban_repeated_ngrams, banned_ngram_mask
+from mmdx_tpu.decode.ngram import banned_ngram_mask
 
 NEG = jnp.float32(-1e9)
 
@@ -513,9 +513,8 @@ def beam_search(
             return jnp.pad(x, pad)
 
         state = state._replace(cache=_cache_rows(state.cache, _fit))
-    elif len(caps) > 1:
-        state = state._replace(cache=jax.tree.map(
-            lambda x: x[:, : nb * caps[0]], state.cache))
+    # (no slicing for the gather layout: caps was forced to () above, so the
+    # single final segment runs on the full-size cache)
 
     s = state
     for idx, cap in enumerate(caps):

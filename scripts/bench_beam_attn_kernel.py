@@ -69,9 +69,15 @@ def main():
         combos = ((None, 48), (4, 48), (2, 48), (8, 96), (None, 96))
     for kk in kks:
         for gb_force, vmem in combos:
-            # monkey-patch knobs via env-ish globals
+            # monkey-patch knobs via env-ish globals. The knobs are read at
+            # TRACE time inside the @jax.jit-wrapped kernel, and same-shape
+            # calls otherwise reuse the first-traced config — clear the jit
+            # cache so every combo measures the kernel it claims to
             pba._FORCE_GB = gb_force
             pba._FORCE_VMEM_MB = vmem
+            pba.beam_decode_attention.clear_cache()
+            if hasattr(pba, "beam_decode_attention_int8"):
+                pba.beam_decode_attention_int8.clear_cache()
             try:
                 t = timed(kk, gb_force, vmem)
                 mb = B * kk * 2 * HD * 2 / 1e6

@@ -28,30 +28,43 @@ def main():
     bundle = new_random_bundle(seed=0)
     print(f"[parts] device={jax.devices()[0].device_kind} B={b}", flush=True)
 
+    # patch the names the CURRENT hot loop calls (beam_search.body uses
+    # banned_ngram_mask + fused_candidate_topk since the round-3 rewrite;
+    # the old ban_repeated_ngrams/topk_chunked patches were silent no-ops)
     orig_insert = bs._insert_hyp
-    orig_topk = bs.topk_chunked
-    orig_ngram = bs.ban_repeated_ngrams
+    orig_cand = bs.fused_candidate_topk
+    orig_ngram = bs.banned_ngram_mask
 
     def no_insert(fin_seqs, fin_scores, fin_lens, n_fin, seq, score, length, do):
         # keep n_fin advancing so early-stop conds still terminate
         return fin_seqs, fin_scores, fin_lens, n_fin + do.astype(n_fin.dtype)
 
-    def cheap_topk(x, k, chunk=1024):
-        vals = jax.lax.dynamic_slice_in_dim(x, 0, k, axis=1)
-        idx = jnp.argmax(x, axis=-1, keepdims=True).astype(jnp.int32)
-        return vals, jnp.broadcast_to(idx, vals.shape) + jnp.arange(k, dtype=jnp.int32)
+    def no_ngram_mask(*a, **k):
+        return None  # the body treats None as "nothing banned"
 
-    def no_ngram(logprobs, seqs, cur, n):
-        return logprobs
+    def cheap_candidates(logits, beam_scores, banned, mask_eos,
+                         eos_token_id, k, b, nb):
+        # timing stub: constant candidates that never emit eos, consuming
+        # only the decoder hidden state — XLA then drops the lm_head matmul
+        # AND the whole logprob/mask/topk chain, so this arm ablates the
+        # full candidate chain (not just the top-k)
+        hidden = getattr(logits, "hidden", logits)
+        base = jnp.sum(hidden[:, :1].astype(jnp.float32)) * 1e-9
+        idx = jnp.broadcast_to(
+            (jnp.arange(k, dtype=jnp.int32) + eos_token_id + 2)[None], (b, k))
+        scores = base - jnp.broadcast_to(
+            jnp.arange(1, k + 1, dtype=jnp.float32)[None], (b, k))
+        return scores, idx
 
     configs = [
         ("full (as served)", {}),
-        ("no ngram", {"ban_repeated_ngrams": no_ngram}),
+        ("no ngram", {"banned_ngram_mask": no_ngram_mask}),
         ("no insert_hyp", {"_insert_hyp": no_insert}),
-        ("cheap topk", {"topk_chunked": cheap_topk}),
-        ("no ngram+insert+topk", {"ban_repeated_ngrams": no_ngram,
-                                  "_insert_hyp": no_insert,
-                                  "topk_chunked": cheap_topk}),
+        ("no candidate chain (lm_head+logprob+topk)",
+         {"fused_candidate_topk": cheap_candidates}),
+        ("no ngram+insert+candidates",
+         {"banned_ngram_mask": no_ngram_mask, "_insert_hyp": no_insert,
+          "fused_candidate_topk": cheap_candidates}),
     ]
 
     for label, patches in configs:
@@ -83,8 +96,8 @@ def main():
                   flush=True)
         finally:
             bs._insert_hyp = orig_insert
-            bs.topk_chunked = orig_topk
-            bs.ban_repeated_ngrams = orig_ngram
+            bs.fused_candidate_topk = orig_cand
+            bs.banned_ngram_mask = orig_ngram
 
 
 if __name__ == "__main__":
