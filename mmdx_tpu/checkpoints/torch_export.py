@@ -168,13 +168,17 @@ def export_hf_t5(p: dict, prefix: str = "", num_layers: int | None = None) -> di
     # the full stack and export verbatim. When absent, emit inert encoder
     # weights (zeros; ones for norm scales) so the reference's strict
     # load_state_dict succeeds; the reference never executes them.
-    has_encoder = any(k.startswith("encoder_layer") for k in p)
+    # encoder depth counted SEPARATELY from the decoder's: T5 supports
+    # num_layers != num_decoder_layers, and a reference checkpoint with an
+    # asymmetric stack must round-trip exactly
+    num_enc_layers = sum(1 for k in p if k.startswith("encoder_layer"))
+    has_encoder = num_enc_layers > 0
     if has_encoder:
         out[f"{prefix}encoder.block.0.layer.0.SelfAttention."
             f"relative_attention_bias.weight"] = _np(
                 p["encoder_rel_bias"]["embedding"])
         rms("encoder.final_layer_norm", p["encoder_final_ln"])
-        for i in range(num_layers):
+        for i in range(num_enc_layers):
             L = p[f"encoder_layer{i}"]
             t = f"encoder.block.{i}.layer"
             attn(f"{t}.0.SelfAttention", L["self_attn"])

@@ -190,6 +190,9 @@ def import_hf_t5(sd: Mapping[str, Any], prefix: str = "",
     sd = to_numpy_tree(sd)
     if num_layers is None:
         num_layers = _count_layers(sd, prefix + "decoder.block.{}.")
+    # encoder depth inferred SEPARATELY: T5 supports num_layers !=
+    # num_decoder_layers, and assuming symmetry corrupts asymmetric models
+    num_enc_layers = _count_layers(sd, prefix + "encoder.block.{}.")
 
     def g(key):
         return sd[prefix + key]
@@ -219,7 +222,7 @@ def import_hf_t5(sd: Mapping[str, Any], prefix: str = "",
         "encoder_final_ln": rms("encoder.final_layer_norm"),
         "decoder_final_ln": rms("decoder.final_layer_norm"),
     }
-    for i in range(num_layers):
+    for i in range(num_enc_layers):
         t = f"encoder.block.{i}.layer"
         p[f"encoder_layer{i}"] = {
             "self_attn": attn(f"{t}.0.SelfAttention"),

@@ -25,8 +25,18 @@ class FeatureGroup:
     def _key(self) -> str:
         return f"feature_groups/{self.name}_v{self.version}.parquet"
 
+    def _meta_key(self) -> str:
+        return f"feature_groups/{self.name}_v{self.version}.meta.json"
+
     def insert(self, df, wait_for_job: bool = False) -> None:
-        """Append rows (adds event_time if missing), persist as parquet."""
+        """Append rows (adds event_time if missing), persist as parquet.
+
+        Group metadata (primary_key) persists in a sidecar JSON: the
+        latest-event dedup contract must hold for readers in OTHER
+        processes (the daily training pipeline), not just the process that
+        created the group."""
+        import json
+
         import pandas as pd
 
         df = df.copy()
@@ -38,6 +48,10 @@ class FeatureGroup:
         buf = io.BytesIO()
         df.to_parquet(buf, index=False)
         self.store.object_store.put(self._key(), buf.getvalue())
+        self.store.object_store.put(self._meta_key(), json.dumps({
+            "primary_key": self.primary_key,
+            "online_enabled": self.online_enabled,
+        }).encode())
 
     def read_raw(self):
         import pandas as pd
@@ -92,6 +106,17 @@ class FeatureStore:
     ) -> FeatureGroup:
         key = (name, version)
         if key not in self._groups:
+            if primary_key is None:
+                # recover the persisted key schema so dedup survives across
+                # processes (the writer and the training reader are
+                # different runs)
+                import json
+
+                meta_key = f"feature_groups/{name}_v{version}.meta.json"
+                if self.object_store.exists(meta_key):
+                    meta = json.loads(self.object_store.get(meta_key))
+                    primary_key = meta.get("primary_key") or None
+                    online_enabled = meta.get("online_enabled", online_enabled)
             self._groups[key] = FeatureGroup(
                 name=name, version=version, primary_key=primary_key or [],
                 store=self, online_enabled=online_enabled,

@@ -26,6 +26,18 @@ def decode_image(src: Union[bytes, bytearray, "Image.Image", np.ndarray]) -> np.
         img = src
     if img.mode == "L":
         return np.asarray(img, dtype=np.uint8)
+    if img.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+        # 16/32-bit grayscale (common for radiography PNGs/TIFFs): PIL's
+        # convert('RGB') truncates through an 8-bit pass, clipping every
+        # pixel > 255 to white. Range-scale to uint8 instead (the reference
+        # inherits the clipping bug; its sample assets are 8-bit JPEG so
+        # the bit-for-bit parity target is unaffected).
+        arr = np.asarray(img, dtype=np.float32)
+        lo, hi = float(arr.min()), float(arr.max())
+        if hi <= 255.0 and lo >= 0.0:  # 8-bit data in a wide container
+            return arr.astype(np.uint8)
+        scale = 255.0 / (hi - lo) if hi > lo else 0.0
+        return ((arr - lo) * scale + 0.5).astype(np.uint8)
     if img.mode != "RGB":
         img = img.convert("RGB")
     return np.asarray(img, dtype=np.uint8)

@@ -81,7 +81,10 @@ class LocalFSStore(ObjectStore):
 
     def _path(self, key: str) -> Path:
         p = (self.root / key).resolve()
-        if not str(p).startswith(str(self.root.resolve())):
+        # is_relative_to, not str.startswith: a prefix check without the
+        # separator admits sibling dirs sharing the root's name prefix
+        # ("/data/store-backup" passes a "/data/store" startswith)
+        if not p.is_relative_to(self.root.resolve()):
             raise ValueError(f"key escapes store root: {key}")
         return p
 
@@ -108,7 +111,11 @@ class LocalFSStore(ObjectStore):
         return sorted(out)
 
     def url_for(self, key: str) -> str:
-        return f"file://{self.root}/{key}"
+        # the REGISTERED handle (bucket), not the filesystem root: open_url
+        # resolves "file://<bucket>/<key>" through the registry, so URLs
+        # persisted in feature rows stay valid wherever the store is rooted
+        # (a root-path URL only worked by accident for absolute roots)
+        return f"file://{self.bucket}/{key}"
 
 
 class S3Store(ObjectStore):
@@ -167,7 +174,15 @@ def open_url(url: str) -> bytes:
     if handle in _REGISTRY:
         return _REGISTRY[handle].get(key)
     if scheme == "file":
-        return Path(f"/{bucket}/{key}" if bucket else f"/{key}").read_bytes()
+        # unregistered file URL: absolute path first, then cwd-relative
+        # (URLs persisted by older runs embedded the filesystem root)
+        p_abs = Path(f"/{bucket}/{key}" if bucket else f"/{key}")
+        if p_abs.exists():
+            return p_abs.read_bytes()
+        p_rel = Path(bucket) / key if bucket else Path(key)
+        if p_rel.exists():
+            return p_rel.read_bytes()
+        raise FileNotFoundError(url)
     if scheme == "s3":
         return register_store(S3Store(bucket)).get(key)
     raise ValueError(f"no store registered for {handle}")

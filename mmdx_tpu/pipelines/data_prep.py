@@ -196,6 +196,25 @@ def hf_dataset_examples(name: str = "itsanmolgupta/mimic-cxr-dataset",
     return out
 
 
+def parse_label_bits(content: str) -> list[int]:
+    """Extract a 13-bit 0/1 label vector from free-form LLM output.
+
+    Prefers a contiguous run of exactly-13 standalone 0/1 tokens; falls back
+    to digit-boundary-guarded scanning. Prose digits ("the 13 bits",
+    "0=absent") must not inject spurious bits — a naive [01] findall shifts
+    the whole vector. Defaults to one-hot "No Finding" when nothing parses.
+    """
+    run = re.search(r"(?<!\d)(?:[01][\s,;]*){13}(?!\d)", content)
+    if run:
+        bits = re.findall(r"[01]", run.group(0))[:13]
+    else:
+        bits = re.findall(r"(?<![\d=])[01](?![\d.])", content)[:13]
+    vec = [int(b) for b in bits] + [0] * (13 - len(bits))
+    if not any(vec):
+        vec[DISEASES.index("No Finding")] = 1
+    return vec
+
+
 def llm_disease_labeler(model: str = "gpt-5"):
     """LLM-backed labeler factory mirroring the reference's OpenAI labeling
     (raw_data_pre_preparation.py:74-106). Gated: requires the openai package +
@@ -213,11 +232,7 @@ def llm_disease_labeler(model: str = "gpt-5"):
         resp = client.chat.completions.create(
             model=model, messages=[{"role": "user", "content": prompt}]
         )
-        bits = re.findall(r"[01]", resp.choices[0].message.content or "")[:13]
-        vec = [int(b) for b in bits] + [0] * (13 - len(bits))
-        if not any(vec):
-            vec[DISEASES.index("No Finding")] = 1
-        return vec
+        return parse_label_bits(resp.choices[0].message.content or "")
 
     return label
 

@@ -82,23 +82,49 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer is gone — a consumer
+            # that breaks out mid-epoch (step-budgeted training loops do)
+            # must not leave this thread blocked on a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for idxs in batches:
+                    if stop.is_set():
+                        return
                     xs, ys = zip(*(self.dataset[int(i)] for i in idxs))
-                    q.put((np.stack(xs), np.stack(ys)))
+                    if not _put((np.stack(xs), np.stack(ys))):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(SENTINEL)
+                _put(SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True, name="mmdx-loader")
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on generator close (break/GC):
+            # stop the worker and unblock any pending put
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

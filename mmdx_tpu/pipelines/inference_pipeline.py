@@ -52,9 +52,12 @@ def get_model_bundle(path: str | os.PathLike | None = None) -> ModelBundle:
         bundle_path = Path(path) if path else default_bundle_path()
         if not bundle_path.is_file():
             raise FileNotFoundError(f"Bundle not found: {bundle_path}")
-        blob = bundle_path.read_bytes()
-        if blob[:8] == b"MMDX0001":
-            bundle = load_bundle(blob)
+        # sniff only the 8-byte magic — a reference model_bundle.pt can be
+        # hundreds of MB, and torch re-reads the file itself anyway
+        with bundle_path.open("rb") as fh:
+            magic = fh.read(8)
+        if magic == b"MMDX0001":
+            bundle = load_bundle(bundle_path)
         else:
             bundle = bundle_from_torch(bundle_path)
         if path is None:
@@ -69,11 +72,26 @@ def clear_model_bundle() -> None:
         _ENGINES.clear()
 
 
+_ENGINE_CACHE_MAX = 4  # old engines pin full weight sets + jit caches
+
+
 def get_engine(model_bundle: ModelBundle, mode: str = "parity") -> InferenceEngine:
+    """Engine per (bundle object, mode), LRU-bounded and lock-guarded.
+
+    A service that reloads its bundle after each daily training run gets a
+    fresh engine per reload; the bound evicts the stale ones instead of
+    leaking one full model (weights + compiled programs) per version."""
     key = (id(model_bundle), mode)
-    if key not in _ENGINES:
-        _ENGINES[key] = InferenceEngine(model_bundle, mode=mode)
-    return _ENGINES[key]
+    with _LOCK:
+        if key in _ENGINES:
+            _ENGINES[key] = _ENGINES.pop(key)  # refresh LRU position
+            return _ENGINES[key]
+    engine = InferenceEngine(model_bundle, mode=mode)
+    with _LOCK:
+        existing = _ENGINES.setdefault(key, engine)
+        while len(_ENGINES) > _ENGINE_CACHE_MAX:
+            _ENGINES.pop(next(iter(_ENGINES)))
+        return existing
 
 
 def inference(model_bundle: ModelBundle, image_pil, patient_details: str,

@@ -394,12 +394,20 @@ def run_training_pipeline(
     )
     eval_engine = InferenceEngine(trained, mode="parity")
 
-    def _evaluate(eval_rows, targets):
-        probs, zi, zt = eval_engine.classify_batch(
-            [open_url_bytes(u) for u in eval_rows["image_url"]],
-            eval_rows["patient_details"].astype(str).tolist(),
-        )
-        reps = eval_engine.generate_reports(zi, zt, greedy=True)
+    def _evaluate(eval_rows, targets, chunk: int = 64):
+        # chunked: one giant batch would hold every decoded f32 image at
+        # once AND compile a one-off XLA program per dataset size
+        probs_l, reps = [], []
+        urls = eval_rows["image_url"].tolist()
+        texts = eval_rows["patient_details"].astype(str).tolist()
+        for i in range(0, len(urls), chunk):
+            probs_c, zi, zt = eval_engine.classify_batch(
+                [open_url_bytes(u) for u in urls[i:i + chunk]],
+                texts[i:i + chunk],
+            )
+            probs_l.append(probs_c)
+            reps.extend(eval_engine.generate_reports(zi, zt, greedy=True))
+        probs = np.concatenate(probs_l, axis=0)
         return (
             auroc_micro(targets, probs),
             rouge_l_corpus(eval_rows["report"].astype(str).tolist(), reps),
