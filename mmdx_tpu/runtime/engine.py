@@ -62,6 +62,9 @@ class InferenceEngine:
         replicate (with tp shards per parallel/sharding rules), batches shard
         over the "data" axis. None = single device."""
         assert mode in ("parity", "fast", "turbo")
+        from mmdx_tpu.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()  # warm restarts replay compiles from disk
         self.bundle = bundle
         self.mode = mode
         self.canonical_size = canonical_size
