@@ -260,9 +260,11 @@ def run_training_pipeline(
     """Full training run: returns {bundle, version, metrics, losses}."""
     from mmdx_tpu.pipelines.feature_pipeline import load_features_labels_from_feature_store
     from mmdx_tpu.pipelines.metrics import auroc_micro, rouge_l_corpus
+    from mmdx_tpu.runtime.compile_cache import enable_compile_cache
     from mmdx_tpu.runtime.engine import InferenceEngine
     from mmdx_tpu.checkpoints.bundle import new_random_bundle, split_variables
 
+    enable_compile_cache()  # daily runs replay yesterday's train-step compiles
     opt = options or TrainingOptions()
     log = opt.log
     rng = jax.random.key(opt.seed)

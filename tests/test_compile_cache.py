@@ -17,6 +17,12 @@ def test_cache_writes_and_idempotent(tmp_path, monkeypatch):
 
     monkeypatch.setattr(compile_cache, "_ENABLED", None)
     monkeypatch.setenv("MMDX_COMPILE_CACHE", str(tmp_path / "xla"))
+    # JAX's cache singleton latches the first directory it initializes with
+    # (an earlier test's engine construction may have pointed it at the
+    # default); reset so THIS test's dir takes effect
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.reset_cache()
     path = compile_cache.enable_compile_cache()
     assert path == str(tmp_path / "xla") and os.path.isdir(path)
     # second call: same dir, no re-configuration
@@ -31,3 +37,7 @@ def test_cache_writes_and_idempotent(tmp_path, monkeypatch):
         assert os.listdir(path), "no cache entry written"
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # detach later tests from this soon-to-be-deleted tmp dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        cc.reset_cache()
+        monkeypatch.setattr(compile_cache, "_ENABLED", None)
