@@ -160,8 +160,28 @@ class MicroBatcher:
                 if self.generate:
                     # hand off to the generate stage; blocks only when two
                     # classified batches are already waiting (bounded
-                    # pipelining, not unbounded buffering)
-                    self._handoff.put(_Handoff(items, probs, z_img, z_txt))
+                    # pipelining, not unbounded buffering). Must stay
+                    # interruptible: after a non-drain stop() the generate
+                    # stage may already be gone (or wedged inside the device
+                    # call), and an unconditional blocking put would strand
+                    # this batch's futures until every caller times out.
+                    h = _Handoff(items, probs, z_img, z_txt)
+                    while True:
+                        # checked BEFORE the put: stop()'s failure sweep runs
+                        # >=5s after _stop is set, so a handoff enqueued here
+                        # (within 0.5s of a false check) is always swept —
+                        # never stranded behind the sweep
+                        if self._stop.is_set():
+                            err = BatcherSaturated("batcher stopped")
+                            for it in items:
+                                if not it.future.done():
+                                    it.future.set_exception(err)
+                            break
+                        try:
+                            self._handoff.put(h, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
                 else:
                     self._resolve(items, probs, [""] * n)
             except Exception as e:  # noqa: BLE001

@@ -278,3 +278,43 @@ def test_nondrain_stop_never_strands_classified_batches():
     finally:
         gate.set()
         batcher.stop()
+
+
+def test_nondrain_stop_with_wedged_generate_stage():
+    """stop() while the generate stage is WEDGED inside the device call (never
+    returns during shutdown): the classify thread must abort its blocking
+    handoff put — not hang forever — and fail that batch's futures. Regression
+    for the unconditional self._handoff.put() in the classify loop."""
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=1, max_wait_ms=1.0,
+                           generate=True, queue_depth=8)
+    futures = []
+    try:
+        # batch 1 wedges inside generate; batches 2+3 fill both handoff
+        # slots; batch 4 leaves classify BLOCKED in the handoff put
+        for i in range(4):
+            futures.append(batcher.submit("img", f"t{i}"))
+            threading.Event().wait(0.05)
+        deadline = threading.Event()
+        for _ in range(400):
+            ends = [e for e in engine.timeline if e[0] == "classify_end"]
+            if len(ends) >= 4:
+                break
+            deadline.wait(0.01)
+        assert len([e for e in engine.timeline if e[0] == "classify_end"]) >= 4
+
+        stopper = threading.Thread(target=batcher.stop, daemon=True)
+        stopper.start()
+        stopper.join(timeout=25)  # gate NEVER opens while stopping
+        assert not stopper.is_alive(), "stop() hung on a wedged generate stage"
+        # the classify thread must have aborted its put and exited
+        batcher._classify_thread.join(timeout=10)
+        assert not batcher._classify_thread.is_alive(), (
+            "classify thread still blocked in handoff.put")
+        # every future except the one wedged inside generate resolves NOW
+        unresolved = [f for f in futures if not f.done()]
+        assert len(unresolved) <= 1, f"{len(unresolved)} futures stranded"
+    finally:
+        gate.set()
+        batcher.stop()
