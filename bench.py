@@ -288,6 +288,8 @@ def main():
                 rates["beam4_int8kv"] = gb / best_gen
                 log(f"[bench] beam4-int8kv generation: "
                     f"{rates['beam4_int8kv']:.1f} reports/s/chip")
+                # greedy over the flat int8 cache (decode_step_beam at nb=1)
+                measure_gen(engine_t, "greedy_int8kv", True)
             except Exception as e:  # noqa: BLE001
                 log(f"[bench] int8-KV gen failed ({type(e).__name__}: {e})")
             finally:
@@ -326,6 +328,9 @@ def main():
                 **({"beam4_int8kv_reports_per_s_chip":
                     round(rates["beam4_int8kv"], 1)}
                    if "beam4_int8kv" in rates else {}),
+                **({"greedy_int8kv_reports_per_s_chip":
+                    round(rates["greedy_int8kv"], 1)}
+                   if "greedy_int8kv" in rates else {}),
             }
 
     baseline = 5000.0  # BASELINE.json north-star target

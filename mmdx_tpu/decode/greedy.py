@@ -98,13 +98,48 @@ def greedy_decode(
         finished = s.finished | (tok == eos_token_id)
         return GreedyState(cur + 1, seqs2, cache, finished)
 
-    # segmented decode with growing KV buffers ([N, heads, cap, d_kv], grown
-    # along axis 2) — see beam_search for the rationale; output-invariant
-    # because the causal bias row masks not-yet-written keys.
-    caps = tuple(sorted({c for c in (segment_caps or ()) if 0 < c < lmax})) + (lmax,)
-    if len(caps) > 1:
-        state = state._replace(cache=jax.tree.map(
-            lambda x: x[:, :, : caps[0], :], state.cache))
+    # segmented decode with growing KV buffers — see beam_search for the
+    # rationale; output-invariant because the causal bias row masks
+    # not-yet-written keys. Two cache layouts:
+    #   heads  {k, v} [N, heads, cap, d_kv]  (decode_step; rows on axis 2)
+    #   flat   {kv [N, cap, 2*h*d](, kvs [N, 2h, cap])}  (decode_step_beam at
+    #          nb=1 — the engine's int8-KV greedy path; rows on axis 1, the
+    #          dequant-scale leaf carries them on its LAST axis). Flat caps
+    #          align to the sublane tile (8 bf16 / 32 int8) like beam_search:
+    #          a misaligned K drops the Pallas cache read ~3x; padded rows
+    #          sit past Lmax and the causal bias kills them.
+    flat = isinstance(init_cache[0], dict) and "kv" in init_cache[0]
+    if flat:
+        sub = 32 if any(
+            x.dtype == jnp.int8 for x in jax.tree.leaves(init_cache)
+        ) else 8
+
+        def _align(c: int) -> int:
+            return c + (-c) % sub
+
+        final = _align(lmax)
+        caps = tuple(sorted({_align(c) for c in (segment_caps or ())
+                             if 0 < c < lmax and _align(c) < final})) + (final,)
+
+        def _resize(cache, rows):
+            def per_leaf(path, x):
+                axis = x.ndim - 1 if getattr(
+                    path[-1], "key", None) == "kvs" else 1
+                if x.shape[axis] >= rows:
+                    return jax.lax.slice_in_dim(x, 0, rows, axis=axis)
+                pad = [(0, 0)] * x.ndim
+                pad[axis] = (0, rows - x.shape[axis])
+                return jnp.pad(x, pad)
+
+            return jax.tree_util.tree_map_with_path(per_leaf, cache)
+
+        state = state._replace(cache=_resize(state.cache, caps[0]))
+    else:
+        caps = tuple(sorted({c for c in (segment_caps or ())
+                             if 0 < c < lmax})) + (lmax,)
+        if len(caps) > 1:
+            state = state._replace(cache=jax.tree.map(
+                lambda x: x[:, :, : caps[0], :], state.cache))
 
     s = state
     for idx, cap in enumerate(caps):
@@ -117,8 +152,12 @@ def greedy_decode(
             cond_cap = cond
         s = jax.lax.while_loop(cond_cap, body, s)
         if cap < lmax:
-            grow = caps[idx + 1] - cap
-            s = s._replace(cache=jax.tree.map(
-                lambda x, g=grow: jnp.pad(x, ((0, 0), (0, 0), (0, g), (0, 0))),
-                s.cache))
+            if flat:
+                s = s._replace(cache=_resize(s.cache, caps[idx + 1]))
+            else:
+                grow = caps[idx + 1] - cap
+                s = s._replace(cache=jax.tree.map(
+                    lambda x, g=grow: jnp.pad(
+                        x, ((0, 0), (0, 0), (0, g), (0, 0))),
+                    s.cache))
     return s.seqs

@@ -97,7 +97,7 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     # gb=2 preferred: on-chip sweep at the 8-aligned kk=728 cache reads
     # 777 GB/s at gb=2 vs 702/709 at gb=4/8 (scripts/
     # bench_beam_attn_kernel.py, /tmp/sweep728.log round 3).
-    gb = _pick_gb(b, kk, hd)
+    gb = _pick_gb(b, kk, hd, nb=nb)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(
@@ -121,10 +121,16 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     )(q, kv, mask, bias)
 
 
-def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2) -> int:
-    return _FORCE_GB or next(g for g in (2, 4, 8, 1)
-                             if b % g == 0
-                             and g * kk * hd * 2 * itemsize <= 12 * 2**20)
+def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2, nb: int = 4) -> int:
+    # target gb*nb ~ 8 query rows per dot (the MXU-shaped tile the on-chip
+    # sweep preferred: gb=2 at nb=4); greedy's nb=1 therefore packs 8 samples
+    if _FORCE_GB:
+        return _FORCE_GB
+    first = max(1, 8 // max(nb, 1))
+    order = [first] + [g for g in (2, 4, 8, 1) if g != first]
+    return next(g for g in order
+                if b % g == 0
+                and g * kk * hd * 2 * itemsize <= 12 * 2**20)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -197,7 +203,7 @@ def beam_decode_attention_int8(q, kv, kvs, mask, bias, interpret: bool = False):
                 ctx.astype(out_ref.dtype).reshape(gb, nb, d)
             )
 
-    gb = _pick_gb(b, kk, hd, itemsize=1)
+    gb = _pick_gb(b, kk, hd, itemsize=1, nb=nb)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(

@@ -124,11 +124,23 @@ class InferenceEngine:
                     use_fused_lm_head=(
                         os.environ.get("MMDX_FUSED_LM_HEAD", "1") != "0"
                     ),
-                    # int8 beam KV cache: halves the decode loop's dominant
-                    # HBM stream; outputs differ at quantization-noise level
-                    # (tests/test_kv_int8.py) so it rides the same opt-in
-                    # tier as the int8 image tower. MMDX_KV_INT8=1/0
-                    # force-overrides (e.g. int8 generation in fast mode).
+                ),
+            )
+        if mode in ("fast", "turbo"):
+            # int8 KV cache (beam + flat greedy): halves the decode loop's
+            # dominant HBM stream; outputs differ at quantization-noise level
+            # (tests/test_kv_int8.py) so it rides the same opt-in tier as the
+            # int8 image tower. MMDX_KV_INT8=1/0 force-overrides (e.g. int8
+            # generation in fast mode). Backend-agnostic (unlike the Pallas
+            # kernels above): quantize-on-write is pure JAX and the non-TPU
+            # read uses the XLA int8 fallback, so CPU tests exercise the
+            # whole turbo decode program.
+            import dataclasses
+
+            model_config = dataclasses.replace(
+                model_config,
+                report=dataclasses.replace(
+                    model_config.report,
                     kv_cache_int8=(
                         os.environ.get("MMDX_KV_INT8", "") == "1"
                         or (mode == "turbo"
@@ -328,7 +340,18 @@ class InferenceEngine:
         seg_caps = tuple(sorted({
             int(x) for x in raw.split(",") if x.strip() and 0 < int(x) < lmax
         })) if raw else ()
-        key = ("generate", tuple(sorted(kw.items())), greedy, seg_caps)
+        # int8-KV greedy (turbo tier): run greedy over the FLAT physical
+        # cache as a 1-beam ancestry decode — same decode_step_beam /
+        # Pallas-read machinery as beam search (ancestry trivially slot 0,
+        # the causal bias masks future keys), halving greedy's dominant
+        # per-step HBM stream. MMDX_GREEDY_FLAT=0 reverts to the heads-major
+        # bf16 cache.
+        flat_greedy = (
+            greedy and self.model_config.report.kv_cache_int8
+            and __import__("os").environ.get("MMDX_GREEDY_FLAT", "1") != "0"
+        )
+        key = ("generate", tuple(sorted(kw.items())), greedy, seg_caps,
+               flat_greedy)
         if key not in self._generate_cache:
             model = self.model
             rep = self.bundle.config.report
@@ -344,7 +367,8 @@ class InferenceEngine:
                 zi = beam_expand(z_img, nb) if nb > 1 else z_img
                 zt = beam_expand(z_txt, nb) if nb > 1 else z_txt
                 prep = model.apply(variables, zi, zt, lmax,
-                                   None if greedy else gen.num_beams,
+                                   (1 if flat_greedy else None) if greedy
+                                   else gen.num_beams,
                                    method=fusion_method)
                 # loop constants (cross-attn KV, shared bias, enc mask) are
                 # closed over — only the self-attn KV buffers ride the
@@ -354,11 +378,21 @@ class InferenceEngine:
 
                 cache = prep["cache"]
                 if greedy:
-                    def step_fn(tokens, pos, layers):
-                        return model.apply(
-                            variables, tokens, pos, layers, static_kv, self_bias,
-                            enc_mask, method=MultiModalDiagnosisModel.decode_step,
-                        )
+                    if flat_greedy:
+                        anc0 = jnp.zeros((batch, 1, lmax), jnp.int32)
+
+                        def step_fn(tokens, pos, layers):
+                            return model.apply(
+                                variables, tokens, pos, layers, anc0,
+                                static_kv, self_bias, enc_mask,
+                                method=MultiModalDiagnosisModel.decode_step_beam,
+                            )
+                    else:
+                        def step_fn(tokens, pos, layers):
+                            return model.apply(
+                                variables, tokens, pos, layers, static_kv, self_bias,
+                                enc_mask, method=MultiModalDiagnosisModel.decode_step,
+                            )
 
                     return greedy_decode(
                         step_fn, cache, batch=batch, vocab_size=rep.vocab_size,

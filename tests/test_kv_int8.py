@@ -170,3 +170,126 @@ def test_int8_flag_leaves_greedy_layout_alone(setup):
     cache, _ = model.apply(variables, 4, 7, cond, None, method=T5.init_cache)
     assert set(cache[0]) == {"k", "v"}
     assert cache[0]["k"].dtype != jnp.int8
+
+
+def _greedy_setup(cfg, variables, beam_width):
+    """(cache, step_fn) for greedy_decode over either cache layout."""
+    model = T5(config=cfg)
+    rng = np.random.default_rng(7)
+    B, K = 3, 4
+    lmax = 13
+    cond = jnp.asarray(
+        rng.standard_normal((B, K, cfg.d_model)).astype(np.float32) * 2.0)
+    cache, static_kv = model.apply(variables, B, lmax, cond, beam_width,
+                                   method=T5.init_cache)
+    self_bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+    enc_mask = jnp.ones((B, K), jnp.int32)
+    if beam_width == 1:
+        anc0 = jnp.zeros((B, 1, lmax), jnp.int32)
+
+        def step_fn(tokens, pos, c_):
+            return model.apply(variables, tokens, pos, c_, anc0, static_kv,
+                               self_bias, enc_mask, method=T5.decode_step_beam)
+    else:
+        def step_fn(tokens, pos, c_):
+            return model.apply(variables, tokens, pos, c_, static_kv,
+                               self_bias, enc_mask, method=T5.decode_step)
+    return cache, step_fn, B, lmax
+
+
+def test_greedy_flat_bf16_matches_heads_layout(setup):
+    """Greedy over the FLAT cache (decode_step_beam at nb=1 — the int8-KV
+    greedy plumbing, run here in exact f32) must produce the same tokens as
+    the standard heads-major greedy."""
+    from mmdx_tpu.decode.greedy import greedy_decode
+
+    cfg, variables = setup
+    gen = dict(max_new_tokens=12, min_new_tokens=3, no_repeat_ngram_size=3,
+               eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+    cache_h, step_h, B, lmax = _greedy_setup(cfg, variables, None)
+    base = np.asarray(greedy_decode(
+        step_h, cache_h, batch=B, vocab_size=cfg.vocab_size, **gen))
+
+    cache_f, step_f, _, _ = _greedy_setup(cfg, variables, 1)
+    assert set(cache_f[0]) == {"kv"} and cache_f[0]["kv"].shape == (
+        B, lmax, 2 * cfg.num_heads * cfg.d_kv)
+    flat = np.asarray(greedy_decode(
+        step_f, cache_f, batch=B, vocab_size=cfg.vocab_size, **gen))
+    np.testing.assert_array_equal(flat, base)
+
+
+def test_greedy_flat_int8_guardrail_and_segment_invariance(setup):
+    """int8-KV greedy: (a) step-0 logits within quantization noise of the
+    exact heads-layout step; (b) segmented flat-cache growth (32-aligned,
+    scale leaf riding along) is bit-invariant vs the unsegmented run."""
+    from mmdx_tpu.decode.greedy import greedy_decode
+
+    cfg, variables = setup
+    c8 = dataclasses.replace(cfg, kv_cache_int8=True)
+    gen = dict(max_new_tokens=12, min_new_tokens=3, no_repeat_ngram_size=3,
+               eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+    cache_h, step_h, B, lmax = _greedy_setup(cfg, variables, None)
+    cache_q, step_q, _, _ = _greedy_setup(c8, variables, 1)
+    assert cache_q[0]["kv"].dtype == jnp.int8
+    assert cache_q[0]["kvs"].shape == (B, 2 * cfg.num_heads, lmax)
+
+    tok = jnp.zeros((B, 1), jnp.int32)
+    exact, _ = step_h(tok, 0, cache_h)
+    quant, _ = step_q(tok, 0, cache_q)
+    rel = float(jnp.linalg.norm(quant - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.03, rel
+
+    base = np.asarray(greedy_decode(
+        step_q, cache_q, batch=B, vocab_size=cfg.vocab_size, **gen))
+    assert ((base >= 0) & (base < cfg.vocab_size)).all()
+    seg = np.asarray(greedy_decode(
+        step_q, cache_q, batch=B, vocab_size=cfg.vocab_size,
+        segment_caps=(5, 9), **gen))
+    np.testing.assert_array_equal(seg, base)
+
+
+def test_greedy_flat_bf16_segment_invariance(setup):
+    """Flat bf16 greedy (8-aligned caps) segments without changing outputs."""
+    from mmdx_tpu.decode.greedy import greedy_decode
+
+    cfg, variables = setup
+    gen = dict(max_new_tokens=12, min_new_tokens=3, no_repeat_ngram_size=3,
+               eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+    cache_f, step_f, B, _ = _greedy_setup(cfg, variables, 1)
+    base = np.asarray(greedy_decode(
+        step_f, cache_f, batch=B, vocab_size=cfg.vocab_size, **gen))
+    seg = np.asarray(greedy_decode(
+        step_f, cache_f, batch=B, vocab_size=cfg.vocab_size,
+        segment_caps=(4, 8), **gen))
+    np.testing.assert_array_equal(seg, base)
+
+
+def test_turbo_engine_greedy_routes_flat(monkeypatch):
+    """A turbo engine's greedy generation compiles the FLAT int8-KV program
+    (engine key flat_greedy=True); MMDX_GREEDY_FLAT=0 reverts to heads-major.
+    Runs the whole jitted program on CPU via the XLA int8 fallback."""
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.runtime.engine import InferenceEngine
+
+    bundle = new_random_bundle(seed=0, small=True)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)] * 2
+
+    eng = InferenceEngine(bundle, mode="turbo")
+    assert eng.model_config.report.kv_cache_int8
+    _, zi, zt = eng.classify_batch(imgs, ["a cough", "b fever"])
+    gen = dataclasses.replace(bundle.config.generation,
+                              max_new_tokens=8, min_new_tokens=2)
+    reps = eng.generate_reports(zi, zt, gen, greedy=True)
+    assert len(reps) == 2 and all(isinstance(r, str) for r in reps)
+    keys = [k for k in eng._generate_cache if k[2]]  # greedy entries
+    assert keys and all(k[4] for k in keys), keys  # flat_greedy=True
+
+    monkeypatch.setenv("MMDX_GREEDY_FLAT", "0")
+    eng2 = InferenceEngine(bundle, mode="turbo")
+    _, zi2, zt2 = eng2.classify_batch(imgs, ["a cough", "b fever"])
+    eng2.generate_reports(zi2, zt2, gen, greedy=True)
+    keys2 = [k for k in eng2._generate_cache if k[2]]
+    assert keys2 and not any(k[4] for k in keys2), keys2

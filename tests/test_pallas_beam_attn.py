@@ -103,3 +103,67 @@ def test_beam_decode_fused_flag_token_parity():
         seqs_fused, scores_fused = run(True)
     assert np.array_equal(seqs_ref, seqs_fused)
     np.testing.assert_allclose(scores_ref, scores_fused, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_beam_attn_kernel_nb1(dtype):
+    """nb=1 (the flat-cache GREEDY path): the kernel must pack 8 samples per
+    program (gb=8) and still match the einsum reference."""
+    from mmdx_tpu.ops.pallas_beam_attn import _pick_gb, beam_decode_attention
+
+    b, nb, h, d, lmax = 8, 1, 8, 16, 24
+    kk = nb * lmax
+    assert _pick_gb(b, kk, h * d, nb=1) == 8
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, nb, h * d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, kk, h * d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, kk, h * d)), dtype)
+    mask = jnp.zeros((b, nb, kk), jnp.float32)  # all live; causal via bias
+    bias = jnp.asarray(
+        np.where(np.arange(kk) <= lmax // 2,
+                 rng.standard_normal((h, kk)), -1e9), jnp.float32)
+
+    ref = _xla_reference(q, k, v, mask, bias, h)
+    with pltpu.force_tpu_interpret_mode():
+        out = beam_decode_attention(q, jnp.concatenate([k, v], -1), mask, bias)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_beam_attn_int8_kernel_nb1():
+    """nb=1 int8 kernel vs the dequantize-then-attend einsum reference."""
+    from mmdx_tpu.ops.pallas_beam_attn import beam_decode_attention_int8
+
+    b, nb, h, d, lmax = 4, 1, 4, 16, 16
+    kk = nb * lmax
+    hd = h * d
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, nb, hd)), jnp.bfloat16)
+    k = rng.standard_normal((b, kk, hd)).astype(np.float32)
+    v = rng.standard_normal((b, kk, hd)).astype(np.float32)
+    kr = k.reshape(b, kk, h, d)
+    vr = v.reshape(b, kk, h, d)
+    sk = np.maximum(np.abs(kr).max(-1), 1e-12) / 127.0
+    sv = np.maximum(np.abs(vr).max(-1), 1e-12) / 127.0
+    ki = np.clip(np.round(kr / sk[..., None]), -127, 127)
+    vi = np.clip(np.round(vr / sv[..., None]), -127, 127)
+    kv = jnp.asarray(np.concatenate(
+        [ki.reshape(b, kk, hd), vi.reshape(b, kk, hd)], -1), jnp.int8)
+    kvs = jnp.asarray(np.concatenate(
+        [sk.transpose(0, 2, 1), sv.transpose(0, 2, 1)], 1), jnp.float32)
+    mask = jnp.zeros((b, nb, kk), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, kk)) * 0.1, jnp.float32)
+
+    kd = (ki * sk[..., None]).reshape(b, kk, hd)
+    vd = (vi * sv[..., None]).reshape(b, kk, hd)
+    ref = _xla_reference(q.astype(jnp.float32), jnp.asarray(kd),
+                         jnp.asarray(vd), mask, bias, h)
+    with pltpu.force_tpu_interpret_mode():
+        out = beam_decode_attention_int8(q, kv, kvs, mask, bias)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
