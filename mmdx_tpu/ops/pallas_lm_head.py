@@ -69,10 +69,16 @@ def _kernel(x_ref, e_ref, mask_ref, logits_ref, m_ref, l_ref, cmax_ref,
     lt = jnp.where(valid, lt, -jnp.inf)  # pad cols dead for max/sum/chunks
     logits_ref[...] = lt
 
-    # masked per-chunk max (stage 1 of the two-stage candidate top-k)
+    # masked per-chunk max (stage 1 of the two-stage candidate top-k).
+    # Written TRANSPOSED [C_t, N]: a [N, vt/128] output block has last dim
+    # vt/128 (e.g. 16) — neither 128-divisible nor the full array dim, which
+    # Mosaic rejects at lowering on real TPU. Transposed, the grid steps the
+    # SUBLANE dim (vt/128 rows, 8-divisible for vt>=1024; single-tile grids
+    # span the full dim) and N rides the lanes as the full array dim (always
+    # legal). The wrapper crops the ragged tail and transposes back.
     banned = mask_ref[...] != 0
     lt_m = jnp.where(banned, -jnp.inf, lt)
-    cmax_ref[...] = jnp.max(lt_m.reshape(n, vt // CHUNK, CHUNK), axis=-1)
+    cmax_ref[...] = jnp.max(lt_m.reshape(n, vt // CHUNK, CHUNK), axis=-1).T
 
     # online max/logsumexp over the RAW (unmasked) logits
     tile_m = jnp.max(lt, axis=-1, keepdims=True)  # [N, 1]
@@ -107,15 +113,22 @@ def _greedy_kernel(x_ref, e_ref, mask_ref, cmax_ref, carg_ref, *, v: int,
     )  # [N, Vt]
     n = lt.shape[0]
     col = g * vt + jax.lax.broadcasted_iota(jnp.int32, (n, vt), 1)
-    lt = jnp.where((col < v) & (mask_ref[...] == 0), lt, -jnp.inf)
+    # two separate wheres, not one &-combined predicate: Mosaic's layout
+    # inference hits an "Invalid relayout ... replicated in destination" on
+    # the i1 AND of a broadcasted-iota compare with the i8 mask compare
+    lt = jnp.where(col < v, lt, -jnp.inf)
+    # widen i8 -> i32 before the compare: Mosaic on v5e rejects the packed
+    # i8 vector cmpi ("Target does not support this comparison")
+    lt = jnp.where(mask_ref[...].astype(jnp.int32) == 0, lt, -jnp.inf)
     c = vt // CHUNK
     lt3 = lt.reshape(n, c, CHUNK)
     cmax = jnp.max(lt3, axis=-1)  # [N, C]
     off = jax.lax.broadcasted_iota(jnp.int32, (n, c, CHUNK), 2)
     # earliest within-chunk offset achieving the max (ties like jnp.argmax)
     carg = jnp.min(jnp.where(lt3 == cmax[..., None], off, CHUNK), axis=-1)
-    cmax_ref[...] = cmax
-    carg_ref[...] = jnp.minimum(carg, CHUNK - 1)
+    # transposed [C_t, N] for Mosaic block legality (see _kernel comment)
+    cmax_ref[...] = cmax.T
+    carg_ref[...] = jnp.minimum(carg, CHUNK - 1).T
 
 
 @functools.partial(jax.jit, static_argnames=("vt", "interpret"))
@@ -133,7 +146,14 @@ def lm_head_greedy(hidden, emb, mask, vt: int | None = None,
         vt = min(2048, v)
     n_tiles = -(-v // vt)
 
-    cmax, carg = pl.pallas_call(
+    ct = vt // CHUNK  # chunk rows per vocab tile (transposed-output sublanes)
+    # Compiled-mode block legality: the transposed chunk-stat grid steps the
+    # sublane dim by ct, so ct must be 8-divisible unless the grid is a
+    # single tile (block == full dim). The default vt always satisfies this
+    # (v <= 2048 -> one tile; else vt=2048 -> ct=16); an explicit multi-tile
+    # vt < 1024 is only legal in interpret mode (tests) — Mosaic rejects it
+    # at lowering otherwise.
+    cmax_t, carg_t = pl.pallas_call(
         functools.partial(_greedy_kernel, v=v, vt=vt),
         grid=(n_tiles,),
         in_specs=[
@@ -142,19 +162,19 @@ def lm_head_greedy(hidden, emb, mask, vt: int | None = None,
             pl.BlockSpec((n, vt), lambda g: (0, g)),
         ],
         out_specs=[
-            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
-            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
+            pl.BlockSpec((ct, n), lambda g: (g, 0)),
+            pl.BlockSpec((ct, n), lambda g: (g, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((v // CHUNK, n), jnp.float32),
+            jax.ShapeDtypeStruct((v // CHUNK, n), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(hidden, emb, mask.astype(jnp.int8))
-    return cmax, carg
+    return cmax_t.T, carg_t.T
 
 
 @functools.partial(jax.jit, static_argnames=("vt", "interpret"))
@@ -180,7 +200,14 @@ def lm_head_stats(hidden, emb, mask, vt: int | None = None,
         vt = min(2048, v)
     n_tiles = -(-v // vt)
 
-    logits, m, l_, cmax = pl.pallas_call(
+    ct = vt // CHUNK  # chunk rows per vocab tile (transposed-output sublanes)
+    # Compiled-mode block legality: the transposed chunk-stat grid steps the
+    # sublane dim by ct, so ct must be 8-divisible unless the grid is a
+    # single tile (block == full dim). The default vt always satisfies this
+    # (v <= 2048 -> one tile; else vt=2048 -> ct=16); an explicit multi-tile
+    # vt < 1024 is only legal in interpret mode (tests) — Mosaic rejects it
+    # at lowering otherwise.
+    logits, m, l_, cmax_t = pl.pallas_call(
         functools.partial(_kernel, v=v, vt=vt, n_tiles=n_tiles),
         grid=(n_tiles,),
         in_specs=[
@@ -192,13 +219,13 @@ def lm_head_stats(hidden, emb, mask, vt: int | None = None,
             pl.BlockSpec((n, vt), lambda g: (0, g)),
             pl.BlockSpec((n, 1), lambda g: (0, 0)),
             pl.BlockSpec((n, 1), lambda g: (0, 0)),
-            pl.BlockSpec((n, vt // CHUNK), lambda g: (0, g)),
+            pl.BlockSpec((ct, n), lambda g: (g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, v), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, v // CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((v // CHUNK, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),
@@ -208,4 +235,4 @@ def lm_head_stats(hidden, emb, mask, vt: int | None = None,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(hidden, emb, mask.astype(jnp.int8))
-    return logits, m[:, 0], l_[:, 0], cmax
+    return logits, m[:, 0], l_[:, 0], cmax_t.T
