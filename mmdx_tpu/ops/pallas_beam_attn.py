@@ -55,7 +55,11 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     def kernel(q_ref, kv_ref, mask_ref, bias_ref, out_ref):
         gb = q_ref.shape[0]
         rq, rk = gb * nb, gb * kk
-        q_all = q_ref[...].reshape(rq, hd)
+        # nb=1 (flat greedy): q/mask/out ride as 2D blocks (unit beam dim
+        # dropped at the wrapper) — Mosaic rejects every singleton-middle-dim
+        # shape cast ([gb,64]<->[gb,1,64]) whether from reshape, scalar
+        # indexing, or the store, so the kernel must never see rank 3
+        q_all = q_ref[...] if nb == 1 else q_ref[...].reshape(rq, hd)
         kv_all = kv_ref[...].reshape(rk, 2 * hd)
         k_all = kv_all[:, :hd]
         v_all = kv_all[:, hd:]
@@ -66,9 +70,10 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
             row_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // nb
             col_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // kk
             bd = jnp.where(row_g == col_g, 0.0, NEG_INF)
-            m = bd + jnp.tile(mask_ref[...].reshape(rq, kk), (1, gb))
+            msk = mask_ref[...] if nb == 1 else mask_ref[...].reshape(rq, kk)
+            m = bd + jnp.tile(msk, (1, gb))
         else:
-            m = mask_ref[...].reshape(rq, kk)
+            m = mask_ref[...] if nb == 1 else mask_ref[...].reshape(rq, kk)
         for hi in range(h):
             qh = q_all[:, hi * d:(hi + 1) * d]  # [rq, d]
             kh = k_all[:, hi * d:(hi + 1) * d]  # [rk, d]
@@ -85,9 +90,12 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [rq, d]
-            out_ref[:, :, hi * d:(hi + 1) * d] = (
-                ctx.astype(out_ref.dtype).reshape(gb, nb, d)
-            )
+            if nb == 1:
+                out_ref[:, hi * d:(hi + 1) * d] = ctx.astype(out_ref.dtype)
+            else:
+                out_ref[:, :, hi * d:(hi + 1) * d] = (
+                    ctx.astype(out_ref.dtype).reshape(gb, nb, d)
+                )
 
     # gb = samples per grid program, packed along BOTH score axes (same
     # trick as ops/pallas_bert_attn): nb=4-row dots per sample left the
@@ -100,17 +108,29 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     gb = _pick_gb(b, kk, hd, nb=nb)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
-    return pl.pallas_call(
+    if nb == 1:  # 2D q/mask/out blocks (see kernel note)
+        q_spec = pl.BlockSpec((gb, hd), lambda i: (i, 0))
+        mask_spec = pl.BlockSpec((gb, kk), lambda i: (i, 0))
+        out_spec = pl.BlockSpec((gb, hd), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hd), q.dtype)
+        q_in, mask_in = q.reshape(b, hd), mask.reshape(b, kk)
+    else:
+        q_spec = pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0))
+        mask_spec = pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0))
+        out_spec = pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, nb, hd), q.dtype)
+        q_in, mask_in = q, mask
+    out = pl.pallas_call(
         kernel,
         grid=(b // gb,),
         in_specs=[
-            pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+            q_spec,
             pl.BlockSpec((gb, kk, 2 * hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0)),
+            mask_spec,
             full((h, kk)),
         ],
-        out_specs=pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nb, hd), q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         # in+out double-buffers exceed the 16MB default scoped cap at gb>2;
         # sample blocks are independent -> parallel grid semantics (lets
         # Mosaic overlap program i+1's DMA with program i's compute)
@@ -118,7 +138,8 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q, kv, mask, bias)
+    )(q_in, kv, mask_in, bias)
+    return out.reshape(b, nb, hd)
 
 
 def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2, nb: int = 4) -> int:
@@ -162,7 +183,8 @@ def beam_decode_attention_int8(q, kv, kvs, mask, bias, interpret: bool = False):
     def kernel(q_ref, kv_ref, s_ref, mask_ref, bias_ref, out_ref):
         gb = q_ref.shape[0]
         rq, rk = gb * nb, gb * kk
-        q_all = q_ref[...].reshape(rq, hd)
+        # nb=1: q/mask/out are 2D blocks (see bf16 kernel note)
+        q_all = q_ref[...] if nb == 1 else q_ref[...].reshape(rq, hd)
         # int8 -> bf16 via int32 (Mosaic has no direct small-int -> float)
         kv_all = kv_ref[...].reshape(rk, 2 * hd).astype(jnp.int32).astype(
             q_ref.dtype)
@@ -172,9 +194,10 @@ def beam_decode_attention_int8(q, kv, kvs, mask, bias, interpret: bool = False):
             row_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // nb
             col_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // kk
             bd = jnp.where(row_g == col_g, 0.0, NEG_INF)
-            m = bd + jnp.tile(mask_ref[...].reshape(rq, kk), (1, gb))
+            msk = mask_ref[...] if nb == 1 else mask_ref[...].reshape(rq, kk)
+            m = bd + jnp.tile(msk, (1, gb))
         else:
-            m = mask_ref[...].reshape(rq, kk)
+            m = mask_ref[...] if nb == 1 else mask_ref[...].reshape(rq, kk)
         for hi in range(h):
             qh = q_all[:, hi * d:(hi + 1) * d]
             kh = k_all[:, hi * d:(hi + 1) * d]
@@ -199,27 +222,43 @@ def beam_decode_attention_int8(q, kv, kvs, mask, bias, interpret: bool = False):
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            out_ref[:, :, hi * d:(hi + 1) * d] = (
-                ctx.astype(out_ref.dtype).reshape(gb, nb, d)
-            )
+            if nb == 1:
+                out_ref[:, hi * d:(hi + 1) * d] = ctx.astype(out_ref.dtype)
+            else:
+                out_ref[:, :, hi * d:(hi + 1) * d] = (
+                    ctx.astype(out_ref.dtype).reshape(gb, nb, d)
+                )
 
     gb = _pick_gb(b, kk, hd, itemsize=1, nb=nb)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
-    return pl.pallas_call(
+    if nb == 1:  # 2D q/mask/out blocks (see bf16 kernel note)
+        q_spec = pl.BlockSpec((gb, hd), lambda i: (i, 0))
+        mask_spec = pl.BlockSpec((gb, kk), lambda i: (i, 0))
+        out_spec = pl.BlockSpec((gb, hd), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hd), q.dtype)
+        q_in, mask_in = q.reshape(b, hd), mask.reshape(b, kk)
+    else:
+        q_spec = pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0))
+        mask_spec = pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0))
+        out_spec = pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, nb, hd), q.dtype)
+        q_in, mask_in = q, mask
+    out = pl.pallas_call(
         kernel,
         grid=(b // gb,),
         in_specs=[
-            pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+            q_spec,
             pl.BlockSpec((gb, kk, 2 * hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((gb, 2 * h, kk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0)),
+            mask_spec,
             full((h, kk)),
         ],
-        out_specs=pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nb, hd), q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q, kv, kvs, mask, bias)
+    )(q_in, kv, kvs, mask_in, bias)
+    return out.reshape(b, nb, hd)

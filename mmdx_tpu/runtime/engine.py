@@ -128,24 +128,24 @@ class InferenceEngine:
             )
         if mode in ("fast", "turbo"):
             # int8 KV cache (beam + flat greedy): halves the decode loop's
-            # dominant HBM stream; outputs differ at quantization-noise level
-            # (tests/test_kv_int8.py) so it rides the same opt-in tier as the
-            # int8 image tower. MMDX_KV_INT8=1/0 force-overrides (e.g. int8
-            # generation in fast mode). Backend-agnostic (unlike the Pallas
-            # kernels above): quantize-on-write is pure JAX and the non-TPU
-            # read uses the XLA int8 fallback, so CPU tests exercise the
-            # whole turbo decode program.
+            # dominant HBM stream in BYTES, but measured on v5e-1 it is a net
+            # LOSS in time at production cache sizes (beam-4 216.5 vs 223.7
+            # reports/s, greedy 520 vs 543 — quantize-on-write + scale
+            # plumbing outweigh the read saving when the whole cache already
+            # fits VMEM per program). Default OFF everywhere; MMDX_KV_INT8=1
+            # opts in (it remains the right lever when cache *capacity* is
+            # the constraint: 2x longer reports / 2x gen batch per HBM byte).
+            # Outputs differ at quantization-noise level (tests/
+            # test_kv_int8.py). Backend-agnostic: quantize-on-write is pure
+            # JAX and the non-TPU read uses the XLA int8 fallback, so CPU
+            # tests exercise the whole turbo decode program.
             import dataclasses
 
             model_config = dataclasses.replace(
                 model_config,
                 report=dataclasses.replace(
                     model_config.report,
-                    kv_cache_int8=(
-                        os.environ.get("MMDX_KV_INT8", "") == "1"
-                        or (mode == "turbo"
-                            and os.environ.get("MMDX_KV_INT8", "") != "0")
-                    ),
+                    kv_cache_int8=os.environ.get("MMDX_KV_INT8", "") == "1",
                 ),
             )
         self.model_config = model_config

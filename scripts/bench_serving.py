@@ -87,17 +87,25 @@ def main():
         finally:
             conn.close()
 
-    # warm every compile bucket: fire the full client count once and wait
+    # warm every compile bucket: fire the full client count in rounds until a
+    # round comes back fast. One round is NOT enough in turbo mode — the first
+    # batch runs int8 calibration and compiles the *calibration* program; the
+    # post-calibration serving program only compiles on the NEXT batch (this
+    # burned a 35 s "p50" into an early measurement).
     print("[serve-bench] warming (compiles fused-batch buckets)...",
           file=sys.stderr)
-    t0 = time.perf_counter()
-    warm_threads = [threading.Thread(target=request) for _ in range(args.clients)]
-    for t in warm_threads:
-        t.start()
-    for t in warm_threads:
-        t.join()
-    print(f"[serve-bench] warm done in {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    for rnd in range(6):
+        t0 = time.perf_counter()
+        warm_threads = [
+            threading.Thread(target=request) for _ in range(args.clients)]
+        for t in warm_threads:
+            t.start()
+        for t in warm_threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        print(f"[serve-bench] warm round {rnd}: {wall:.1f}s", file=sys.stderr)
+        if wall < 5.0:
+            break
 
     latencies: list[float] = []
     codes: dict[int, int] = {}

@@ -267,9 +267,11 @@ def test_greedy_flat_bf16_segment_invariance(setup):
 
 
 def test_turbo_engine_greedy_routes_flat(monkeypatch):
-    """A turbo engine's greedy generation compiles the FLAT int8-KV program
-    (engine key flat_greedy=True); MMDX_GREEDY_FLAT=0 reverts to heads-major.
-    Runs the whole jitted program on CPU via the XLA int8 fallback."""
+    """With MMDX_KV_INT8=1 opted in (int8 KV is measured-slower on v5e so no
+    longer a turbo default), greedy generation compiles the FLAT int8-KV
+    program (engine key flat_greedy=True); MMDX_GREEDY_FLAT=0 reverts to
+    heads-major. Runs the whole jitted program on CPU via the XLA int8
+    fallback."""
     from mmdx_tpu.checkpoints.bundle import new_random_bundle
     from mmdx_tpu.runtime.engine import InferenceEngine
 
@@ -277,6 +279,7 @@ def test_turbo_engine_greedy_routes_flat(monkeypatch):
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)] * 2
 
+    monkeypatch.setenv("MMDX_KV_INT8", "1")
     eng = InferenceEngine(bundle, mode="turbo")
     assert eng.model_config.report.kv_cache_int8
     _, zi, zt = eng.classify_batch(imgs, ["a cough", "b fever"])
