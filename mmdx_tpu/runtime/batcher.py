@@ -12,6 +12,15 @@ threads with a bounded handoff queue, so batch N+1's classify overlaps batch
 N's (much slower) beam-search generation — with beam-4 on, a B=64 generation
 is ~340 ms during which the classify stage keeps draining the input queue.
 
+Coalescing (round 3): the generate stage merges every classified batch
+already waiting in the handoff queue into ONE decode call (up to
+``gen_max_batch``). Beam decode runs 150-180 *sequential* steps whose
+per-step cost is nearly flat in batch size up to B=64, so a generation
+batch of 4 costs the same wall-clock as one of 32 — without coalescing,
+staggered arrivals form small generate batches and concurrent throughput
+collapses to ~batch_size/decode_time (measured: 12 req/s at 32 closed-loop
+clients; the decode loop was the serialized bottleneck at mean batch ~4).
+
 Backpressure: the input queue is bounded (``queue_depth``); when it is full
 ``submit`` raises ``BatcherSaturated`` and the HTTP layer translates that to
 503 + Retry-After instead of letting latency (and memory) grow without bound.
@@ -51,12 +60,16 @@ class _Handoff:
 class MicroBatcher:
     def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 5.0,
                  generate: bool = False, greedy: bool = False,
-                 gen_overrides: dict | None = None, queue_depth: int = 0):
+                 gen_overrides: dict | None = None, queue_depth: int = 0,
+                 gen_max_batch: int = 64):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.generate = generate
         self.greedy = greedy
+        # beam decode throughput saturates at B=64 on v5e (larger batches
+        # cost MORE per report); coalesced generate batches cap here
+        self.gen_max_batch = gen_max_batch
         self.gen = None
         if gen_overrides:
             import dataclasses
@@ -73,10 +86,15 @@ class MicroBatcher:
         self._n_shed = 0
         self._n_batches = 0
         self._batch_sizes_sum = 0
-        # handoff between the classify and generate stages; depth 2 keeps one
-        # batch generating while the next one's classify completes, without
-        # letting classified batches pile up unboundedly
-        self._handoff: queue.Queue[_Handoff] = queue.Queue(maxsize=2)
+        self._n_gen_batches = 0
+        self._gen_sizes_sum = 0
+        self._gen_handoffs_sum = 0
+        # handoff between the classify and generate stages; deep enough that
+        # classified batches PILE UP while a generation is in flight — that
+        # backlog is exactly what the generate stage coalesces into its next
+        # (much more efficient) decode call. Futures stay bounded by the
+        # input queue either way.
+        self._handoff: queue.Queue[_Handoff] = queue.Queue(maxsize=8)
         self._stop = threading.Event()
         self._draining = threading.Event()
         self._classify_thread = threading.Thread(
@@ -204,25 +222,75 @@ class MicroBatcher:
 
     # -- stage 2: generate -------------------------------------------------
     def _generate_loop(self):
-        while True:
+        done = False
+        while not done:
             h = self._handoff.get()
             if h is None:
                 break
+            # coalesce: merge every batch that classified while the previous
+            # generation was running into this decode call (see module doc —
+            # decode wall-clock is ~flat in batch size, so this multiplies
+            # throughput under concurrent load)
+            merged = [h]
+            total = len(h.items)
+            while total < self.gen_max_batch:
+                try:
+                    nxt = self._handoff.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    done = True  # classify stage is finished; exit after this
+                    break
+                merged.append(nxt)
+                total += len(nxt.items)
             if self._stop.is_set() and not self._draining.is_set():
                 err = BatcherSaturated("batcher stopped")
-                for it in h.items:
-                    if not it.future.done():
-                        it.future.set_exception(err)
+                for b in merged:
+                    for it in b.items:
+                        if not it.future.done():
+                            it.future.set_exception(err)
                 continue
             try:
-                reports = self.engine.generate_reports(
-                    h.z_img, h.z_txt, self.gen, greedy=self.greedy
-                )
-                self._resolve(h.items, h.probs, reports)
+                if len(merged) == 1:
+                    reports = self.engine.generate_reports(
+                        h.z_img, h.z_txt, self.gen, greedy=self.greedy
+                    )
+                    self._resolve(h.items, h.probs, reports)
+                else:
+                    import numpy as np
+
+                    zi = np.concatenate(
+                        [np.asarray(b.z_img)[:len(b.items)] for b in merged])
+                    zt = np.concatenate(
+                        [np.asarray(b.z_txt)[:len(b.items)] for b in merged])
+                    # pad the combined batch to a power-of-two bucket so the
+                    # decode program is reused across load patterns
+                    n = zi.shape[0]
+                    bucket = 1
+                    while bucket < n:
+                        bucket *= 2
+                    if bucket > n:
+                        zi = np.concatenate(
+                            [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
+                        zt = np.concatenate(
+                            [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
+                    reports = self.engine.generate_reports(
+                        zi, zt, self.gen, greedy=self.greedy
+                    )
+                    off = 0
+                    for b in merged:
+                        k = len(b.items)
+                        self._resolve(b.items, b.probs, reports[off:off + k])
+                        off += k
+                with self._stats_lock:
+                    self._n_gen_batches += 1
+                    self._gen_sizes_sum += total
+                    self._gen_handoffs_sum += len(merged)
             except Exception as e:  # noqa: BLE001
-                for it in h.items:
-                    if not it.future.done():
-                        it.future.set_exception(e)
+                for b in merged:
+                    for it in b.items:
+                        if not it.future.done():
+                            it.future.set_exception(e)
 
     def _resolve(self, items, probs, reports):
         for i, it in enumerate(items):
@@ -234,11 +302,18 @@ class MicroBatcher:
         with self._stats_lock:
             n_sub, n_shed = self._n_submitted, self._n_shed
             n_b, sizes = self._n_batches, self._batch_sizes_sum
+            n_g, g_sizes = self._n_gen_batches, self._gen_sizes_sum
+            g_merged = self._gen_handoffs_sum
         return {
             "submitted": n_sub,
             "shed": n_shed,
             "batches": n_b,
             "mean_batch_size": round(sizes / n_b, 2) if n_b else None,
+            "gen_batches": n_g,
+            "mean_gen_batch_size": round(g_sizes / n_g, 2) if n_g else None,
+            # >1.0 means the generate stage is actually merging backlogged
+            # classified batches (the concurrent-throughput lever)
+            "mean_gen_coalesced": round(g_merged / n_g, 2) if n_g else None,
             "queue_size": self._queue.qsize(),
             "queue_depth": self.queue_depth,
             "pipelined_generate": self.generate,

@@ -113,12 +113,15 @@ class _StageProbeEngine:
         class config:  # noqa: N801 - attribute shim
             generation = None
 
-    def __init__(self, gen_gate: threading.Event | None = None):
+    def __init__(self, gen_gate: threading.Event | None = None,
+                 distinct_reports: bool = False):
         self.bundle = self._Bundle()
         self.thresholds = np.full(13, 0.5, np.float32)
         self.timeline = []
+        self.gen_sizes = []  # z batch size of every generate_reports call
         self._lock = threading.Lock()
         self.gen_gate = gen_gate  # generation blocks until set
+        self.distinct_reports = distinct_reports  # "r{i}" instead of "report"
 
     def _log(self, event, tag):
         with self._lock:
@@ -133,11 +136,16 @@ class _StageProbeEngine:
         return probs, np.zeros((n, 4), np.float32), np.zeros((n, 4), np.float32)
 
     def generate_reports(self, z_img, z_txt, gen=None, greedy=False):
+        n = int(z_img.shape[0])
+        with self._lock:
+            self.gen_sizes.append(n)
         self._log("generate_start", "gen")
         if self.gen_gate is not None:
             assert self.gen_gate.wait(timeout=30)
         self._log("generate_end", "gen")
-        return ["report"] * int(z_img.shape[0])
+        if self.distinct_reports:
+            return [f"r{i}" for i in range(n)]
+        return ["report"] * n
 
     def result_dict(self, probs_row, report_text):
         # mirror InferenceEngine.result_dict (the batcher calls it per item)
@@ -315,6 +323,85 @@ def test_nondrain_stop_with_wedged_generate_stage():
         # every future except the one wedged inside generate resolves NOW
         unresolved = [f for f in futures if not f.done()]
         assert len(unresolved) <= 1, f"{len(unresolved)} futures stranded"
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_generate_stage_coalesces_backlog():
+    """Classified batches that queue up while a generation is in flight are
+    MERGED into one decode call (decode wall-clock is ~flat in batch size,
+    so per-handoff generation collapses concurrent throughput — measured
+    12 req/s at 32 clients before coalescing). Each caller must still get
+    its own report."""
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate, distinct_reports=True)
+    # max_batch=1 forces every submit into its OWN classify batch/handoff
+    batcher = MicroBatcher(engine, max_batch=1, max_wait_ms=1.0,
+                           generate=True)
+    futures = []
+    try:
+        # item 0 enters generate and blocks on the gate
+        futures.append(batcher.submit("img", "t0"))
+        for _ in range(400):
+            if ("generate_start", "gen") in engine.timeline:
+                break
+            threading.Event().wait(0.01)
+        assert ("generate_start", "gen") in engine.timeline
+
+        # items 1-4 classify into four separate handoffs while gen is busy
+        for i in range(1, 5):
+            futures.append(batcher.submit("img", f"t{i}"))
+        for _ in range(400):
+            ends = [e for e in engine.timeline if e[0] == "classify_end"]
+            if len(ends) >= 5:
+                break
+            threading.Event().wait(0.01)
+        assert len([e for e in engine.timeline
+                    if e[0] == "classify_end"]) >= 5
+
+        gate.set()
+        results = [f.result(timeout=30) for f in futures]
+        # first call was the blocked single; the backlog merged into ONE call
+        assert engine.gen_sizes[0] == 1, engine.gen_sizes
+        assert len(engine.gen_sizes) == 2, engine.gen_sizes
+        assert engine.gen_sizes[1] == 4, engine.gen_sizes  # pow2 bucket of 4
+        # fan-out: item k's report is its own row of the merged decode
+        assert results[0]["report_text"] == "r0"
+        for k in range(1, 5):
+            assert results[k]["report_text"] == f"r{k - 1}", results[k]
+        st = batcher.stats()
+        assert st["gen_batches"] == 2
+        assert st["mean_gen_coalesced"] == 2.5  # (1 + 4 handoffs) / 2 calls
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_generate_coalescing_respects_cap():
+    """A merged generate batch never exceeds gen_max_batch."""
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=1, max_wait_ms=1.0,
+                           generate=True, gen_max_batch=2)
+    futures = []
+    try:
+        futures.append(batcher.submit("img", "t0"))
+        for _ in range(400):
+            if ("generate_start", "gen") in engine.timeline:
+                break
+            threading.Event().wait(0.01)
+        for i in range(1, 5):
+            futures.append(batcher.submit("img", f"t{i}"))
+        for _ in range(400):
+            if len([e for e in engine.timeline
+                    if e[0] == "classify_end"]) >= 5:
+                break
+            threading.Event().wait(0.01)
+        gate.set()
+        for f in futures:
+            assert f.result(timeout=30)["report_text"] == "report"
+        assert max(engine.gen_sizes) <= 2, engine.gen_sizes
     finally:
         gate.set()
         batcher.stop()
