@@ -135,6 +135,12 @@ class MicroBatcher:
         return self.submit(image, text).result(timeout=timeout)
 
     # -- stage 1: collect + classify --------------------------------------
+    def _classify_bucket(self, n: int) -> int:
+        for b in sorted({1, min(8, self.max_batch), self.max_batch}):
+            if b >= n:
+                return b
+        return self.max_batch
+
     def _collect(self) -> list[_Item]:
         try:
             first = self._queue.get(timeout=0.1)
@@ -164,11 +170,13 @@ class MicroBatcher:
             if not items:
                 continue
             try:
-                # pad to power-of-two buckets so compiled programs are reused
+                # pad to the coarse {1, 8, max_batch} bucket ladder so
+                # compiled programs are reused — same cold-start argument as
+                # gen_bucket (every distinct batch size is a separate TPU
+                # program); the padded classify compute is ~ms, noise next
+                # to a report generation
                 n = len(items)
-                bucket = 1
-                while bucket < n:
-                    bucket *= 2
+                bucket = self._classify_bucket(n)
                 images = [it.image for it in items] + [items[0].image] * (bucket - n)
                 texts = [it.text for it in items] + [items[0].text] * (bucket - n)
                 probs, z_img, z_txt = self.engine.classify_batch(images, texts)
@@ -221,6 +229,15 @@ class MicroBatcher:
                         break
 
     # -- stage 2: generate -------------------------------------------------
+    def gen_bucket(self, n: int) -> int:
+        """Smallest generate-batch bucket >= n from the coarse ladder
+        {1, 8, gen_max_batch} (single requests stay cheap; everything else
+        rides one of two batched programs)."""
+        for b in sorted({1, min(8, self.gen_max_batch), self.gen_max_batch}):
+            if b >= n:
+                return b
+        return self.gen_max_batch
+
     def _generate_loop(self):
         done = False
         while not done:
@@ -251,37 +268,33 @@ class MicroBatcher:
                             it.future.set_exception(err)
                 continue
             try:
-                if len(merged) == 1:
-                    reports = self.engine.generate_reports(
-                        h.z_img, h.z_txt, self.gen, greedy=self.greedy
-                    )
-                    self._resolve(h.items, h.probs, reports)
-                else:
-                    import numpy as np
+                import numpy as np
 
+                zi = np.concatenate(
+                    [np.asarray(b.z_img)[:len(b.items)] for b in merged])
+                zt = np.concatenate(
+                    [np.asarray(b.z_txt)[:len(b.items)] for b in merged])
+                # pad the combined batch to a COARSE bucket so the decode
+                # program is reused across load patterns. Decode wall-clock
+                # is ~flat in batch size, so over-padding is nearly free in
+                # time while every distinct size costs a full TPU compile
+                # (30-60 s over the remote-compile tunnel) — three programs
+                # bound the cold-start surface
+                n = zi.shape[0]
+                bucket = self.gen_bucket(n)
+                if bucket > n:
                     zi = np.concatenate(
-                        [np.asarray(b.z_img)[:len(b.items)] for b in merged])
+                        [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
                     zt = np.concatenate(
-                        [np.asarray(b.z_txt)[:len(b.items)] for b in merged])
-                    # pad the combined batch to a power-of-two bucket so the
-                    # decode program is reused across load patterns
-                    n = zi.shape[0]
-                    bucket = 1
-                    while bucket < n:
-                        bucket *= 2
-                    if bucket > n:
-                        zi = np.concatenate(
-                            [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
-                        zt = np.concatenate(
-                            [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
-                    reports = self.engine.generate_reports(
-                        zi, zt, self.gen, greedy=self.greedy
-                    )
-                    off = 0
-                    for b in merged:
-                        k = len(b.items)
-                        self._resolve(b.items, b.probs, reports[off:off + k])
-                        off += k
+                        [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
+                reports = self.engine.generate_reports(
+                    zi, zt, self.gen, greedy=self.greedy
+                )
+                off = 0
+                for b in merged:
+                    k = len(b.items)
+                    self._resolve(b.items, b.probs, reports[off:off + k])
+                    off += k
                 with self._stats_lock:
                     self._n_gen_batches += 1
                     self._gen_sizes_sum += total

@@ -98,6 +98,29 @@ class DiagnosisApp:
                 else:
                     img = Image.new("RGB", (size, size), (128, 128, 128))
                 batcher.infer(img, "warmup", timeout=None)
+                # pre-compile the BATCHED bucket programs (classify + the
+                # coalesced-generate ladder) so the first traffic burst
+                # doesn't pay 30-60 s per cold bucket; the persistent
+                # compile cache makes this near-free on restarts.
+                # MMDX_WARMUP_BUCKETS=0 keeps only the bucket-1 warm above.
+                if os.getenv("MMDX_WARMUP_BUCKETS", "1") != "0":
+                    import numpy as np
+
+                    eng = batcher.engine
+                    for b in sorted({min(8, batcher.max_batch),
+                                     batcher.max_batch}):
+                        if b > 1:
+                            eng.classify_batch([img] * b, ["warmup"] * b)
+                    if batcher.generate:
+                        cfg = eng.bundle.config.fusion
+                        for b in sorted({batcher.gen_bucket(2),
+                                         batcher.gen_max_batch}):
+                            if b > 1:
+                                eng.generate_reports(
+                                    np.zeros((b, cfg.d_img), np.float32),
+                                    np.zeros((b, cfg.d_txt), np.float32),
+                                    batcher.gen, greedy=batcher.greedy,
+                                )
                 self._warmup_state = "done"
                 print("[mmdx] warmup complete (serving programs compiled)",
                       flush=True)

@@ -365,7 +365,8 @@ def test_generate_stage_coalesces_backlog():
         # first call was the blocked single; the backlog merged into ONE call
         assert engine.gen_sizes[0] == 1, engine.gen_sizes
         assert len(engine.gen_sizes) == 2, engine.gen_sizes
-        assert engine.gen_sizes[1] == 4, engine.gen_sizes  # pow2 bucket of 4
+        # 4 real rows ride the 8-bucket (coarse {1, 8, cap} gen ladder)
+        assert engine.gen_sizes[1] == 8, engine.gen_sizes
         # fan-out: item k's report is its own row of the merged decode
         assert results[0]["report_text"] == "r0"
         for k in range(1, 5):
