@@ -66,6 +66,14 @@ def main():
     print(f"[serve-bench] server up on :{args.port} mode={args.mode} "
           f"gen={args.gen} max_batch={args.max_batch}", file=sys.stderr)
 
+    # production boot path: the warmup thread compiles the single-request
+    # program AND the batched bucket ladder (classify + coalesced-generate)
+    # before traffic — wait for it so the warm rounds below only confirm
+    t0 = time.perf_counter()
+    app.warmup_async().join()
+    print(f"[serve-bench] boot warmup ({app._warmup_state}) in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
     # one sample request payload (packaged sample X-ray)
     img = (Path(__file__).resolve().parents[1]
            / "mmdx_tpu/serve/sample_data/sample_images/s1.jpg").read_bytes()
@@ -131,6 +139,16 @@ def main():
     for t in threads:
         t.join()
     wall = time.perf_counter() - t_start
+    # batcher's own view (fusing + coalescing diagnostics) before shutdown
+    batcher_stats = {}
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", args.port, timeout=30)
+        conn.request("GET", "/api/stats/")
+        batcher_stats = json.loads(
+            conn.getresponse().read()).get("batcher", {})
+        conn.close()
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
     server.shutdown()
 
     ok = codes.get(200, 0)
@@ -151,6 +169,7 @@ def main():
         "p50_ms": round(pct(50) * 1e3, 1),
         "p90_ms": round(pct(90) * 1e3, 1),
         "p99_ms": round(pct(99) * 1e3, 1),
+        "batcher": batcher_stats,
     }
     print(json.dumps(result))
 
