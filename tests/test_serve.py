@@ -242,3 +242,47 @@ def test_json_predict_malformed_is_400(app):
         status, _, raw = call(app, "POST", "/api/predict/", body,
                               "application/json")
         assert status.startswith("400"), (body, status, raw)
+
+
+def test_boot_warmup_precompiles_bucket_ladder(rng):
+    """warmup_async compiles the single-request program AND the batched
+    bucket ladder (classify {8-ish, max_batch} + coalesced-generate
+    {gen_bucket(2), gen_max_batch}) so the first traffic burst never pays a
+    cold compile (measured 30-60s per bucket over the TPU remote-compile
+    tunnel)."""
+    from mmdx_tpu.checkpoints.bundle import new_random_bundle
+    from mmdx_tpu.serve.wsgi import make_app
+
+    bundle = new_random_bundle(seed=0, small=True)
+    app = make_app(
+        bundle=bundle, generate_reports=True, max_batch=4,
+        gen_overrides=dict(max_new_tokens=4, min_new_tokens=1, num_beams=2),
+    )
+    batcher = app._get_batcher()
+    batcher.gen_max_batch = 4  # keep the CPU warmup cheap
+    classify_sizes, gen_sizes = [], []
+    real_classify, real_generate = (
+        batcher.engine.classify_batch, batcher.engine.generate_reports)
+
+    def rec_classify(images, texts):
+        classify_sizes.append(len(images))
+        return real_classify(images, texts)
+
+    def rec_generate(z_img, z_txt, gen=None, greedy=False):
+        gen_sizes.append(int(z_img.shape[0]))
+        return real_generate(z_img, z_txt, gen, greedy=greedy)
+
+    batcher.engine.classify_batch = rec_classify
+    batcher.engine.generate_reports = rec_generate
+    try:
+        t = app.warmup_async()
+        t.join(timeout=600)
+        assert not t.is_alive()
+        assert app._warmup_state == "done"
+        # the warm request (bucket 1) + the batched ladder sizes ran
+        assert any(b >= 4 for b in classify_sizes), classify_sizes
+        assert 1 in gen_sizes and 4 in gen_sizes, gen_sizes
+    finally:
+        batcher.engine.classify_batch = real_classify
+        batcher.engine.generate_reports = real_generate
+        batcher.stop()
