@@ -89,6 +89,12 @@ class MicroBatcher:
         self._n_gen_batches = 0
         self._gen_sizes_sum = 0
         self._gen_handoffs_sum = 0
+        # last-N wall-clock of each stage's device call (serving-bottleneck
+        # diagnosis: which stage actually paces a loaded server)
+        import collections
+
+        self._classify_times = collections.deque(maxlen=256)
+        self._generate_times = collections.deque(maxlen=256)
         # handoff between the classify and generate stages; deep enough that
         # classified batches PILE UP while a generation is in flight — that
         # backlog is exactly what the generate stage coalesces into its next
@@ -179,10 +185,15 @@ class MicroBatcher:
                 bucket = self._classify_bucket(n)
                 images = [it.image for it in items] + [items[0].image] * (bucket - n)
                 texts = [it.text for it in items] + [items[0].text] * (bucket - n)
+                import time
+
+                t0 = time.perf_counter()
                 probs, z_img, z_txt = self.engine.classify_batch(images, texts)
+                dt = time.perf_counter() - t0
                 with self._stats_lock:
                     self._n_batches += 1
                     self._batch_sizes_sum += n
+                    self._classify_times.append(dt)
                 if self.generate:
                     # hand off to the generate stage; blocks only when two
                     # classified batches are already waiting (bounded
@@ -287,9 +298,15 @@ class MicroBatcher:
                         [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
                     zt = np.concatenate(
                         [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
+                import time
+
+                t0 = time.perf_counter()
                 reports = self.engine.generate_reports(
                     zi, zt, self.gen, greedy=self.greedy
                 )
+                dt_gen = time.perf_counter() - t0
+                with self._stats_lock:
+                    self._generate_times.append(dt_gen)
                 off = 0
                 for b in merged:
                     k = len(b.items)
@@ -317,7 +334,12 @@ class MicroBatcher:
             n_b, sizes = self._n_batches, self._batch_sizes_sum
             n_g, g_sizes = self._n_gen_batches, self._gen_sizes_sum
             g_merged = self._gen_handoffs_sum
+            ct = sorted(self._classify_times)
+            gt = sorted(self._generate_times)
+        p50 = lambda xs: round(xs[len(xs) // 2] * 1e3, 1) if xs else None
         return {
+            "classify_call_p50_ms": p50(ct),
+            "generate_call_p50_ms": p50(gt),
             "submitted": n_sub,
             "shed": n_shed,
             "batches": n_b,
