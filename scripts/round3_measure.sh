@@ -25,6 +25,10 @@ echo "== 5/5 concurrent serving load (32 clients, beam gen)"
 timeout 1800 python scripts/bench_serving.py --clients 32 --seconds 30 \
   --mode turbo > /tmp/r3/serving.log 2>&1
 tail -10 /tmp/r3/serving.log || true
+echo "== 5b: 8-client pass (isolates 1-CPU-host thread-scheduling overhead)"
+timeout 1200 python scripts/bench_serving.py --clients 8 --seconds 30 \
+  --mode turbo > /tmp/r3/serving_c8.log 2>&1
+tail -3 /tmp/r3/serving_c8.log || true
 
 echo "== 6/7 train-step throughput (joint fusion phase, B=32 bf16)"
 timeout 1800 python scripts/bench_train.py > /tmp/r3/train.log 2>&1
