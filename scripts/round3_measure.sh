@@ -30,9 +30,13 @@ timeout 1200 python scripts/bench_serving.py --clients 8 --seconds 30 \
   --mode turbo > /tmp/r3/serving_c8.log 2>&1
 tail -3 /tmp/r3/serving_c8.log || true
 
-echo "== 6/7 train-step throughput (joint fusion phase, B=32 bf16)"
+echo "== 6/7 train-step throughput (joint fusion phase, bf16, B sweep)"
 timeout 1800 python scripts/bench_train.py > /tmp/r3/train.log 2>&1
 tail -5 /tmp/r3/train.log || true
+timeout 1800 python scripts/bench_train.py 64 > /tmp/r3/train_b64.log 2>&1
+tail -2 /tmp/r3/train_b64.log || true
+timeout 1800 python scripts/bench_train.py 128 > /tmp/r3/train_b128.log 2>&1
+tail -2 /tmp/r3/train_b128.log || true
 
 echo "== 7/7 beam device trace (only if beam4 < 230/s — decision table)"
 beam=$(awk '/\[bench_beam\] beam4:/ {print int($3); exit}' /tmp/r3/beam.log)
