@@ -279,12 +279,16 @@ class MicroBatcher:
                             it.future.set_exception(err)
                 continue
             try:
-                import numpy as np
+                # jnp keeps device-resident z embeddings ON DEVICE (the
+                # classify outputs live there): np.asarray here would be a
+                # blocking device->host fetch per handoff — ~30 ms of fixed
+                # RPC each through the remote-device tunnel
+                import jax.numpy as jnp
 
-                zi = np.concatenate(
-                    [np.asarray(b.z_img)[:len(b.items)] for b in merged])
-                zt = np.concatenate(
-                    [np.asarray(b.z_txt)[:len(b.items)] for b in merged])
+                zi = jnp.concatenate(
+                    [b.z_img[:len(b.items)] for b in merged])
+                zt = jnp.concatenate(
+                    [b.z_txt[:len(b.items)] for b in merged])
                 # pad the combined batch to a COARSE bucket so the decode
                 # program is reused across load patterns. Decode wall-clock
                 # is ~flat in batch size, so over-padding is nearly free in
@@ -294,10 +298,12 @@ class MicroBatcher:
                 n = zi.shape[0]
                 bucket = self.gen_bucket(n)
                 if bucket > n:
-                    zi = np.concatenate(
-                        [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
-                    zt = np.concatenate(
-                        [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
+                    reps = jnp.broadcast_to(
+                        zi[-1:], (bucket - n,) + zi.shape[1:])
+                    zi = jnp.concatenate([zi, reps])
+                    reps = jnp.broadcast_to(
+                        zt[-1:], (bucket - n,) + zt.shape[1:])
+                    zt = jnp.concatenate([zt, reps])
                 import time
 
                 t0 = time.perf_counter()
