@@ -20,6 +20,9 @@ batch of 4 costs the same wall-clock as one of 32 — without coalescing,
 staggered arrivals form small generate batches and concurrent throughput
 collapses to ~batch_size/decode_time (measured: 12 req/s at 32 closed-loop
 clients; the decode loop was the serialized bottleneck at mean batch ~4).
+A merge never exceeds ``gen_max_batch``: a handoff that would overflow the
+bucket carries over to the next decode call (an over-bucket batch is a
+novel shape — a fresh multi-minute TPU compile mid-traffic).
 
 Backpressure: the input queue is bounded (``queue_depth``); when it is full
 ``submit`` raises ``BatcherSaturated`` and the HTTP layer translates that to
@@ -30,6 +33,7 @@ their queues, then joins the threads — in-flight requests complete.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -38,6 +42,32 @@ from dataclasses import dataclass
 
 class BatcherSaturated(RuntimeError):
     """Input queue at capacity — shed load upstream (HTTP 503)."""
+
+
+def classify_bucket_ladder(max_batch: int) -> tuple[int, ...]:
+    """Classify-batch buckets: {1, 8, then powers of two} up to max_batch.
+
+    Finer than the generate ladder on purpose: a classify call's cost is
+    dominated by the raw-u8 host->device transfer (bucket * H * W * 3 bytes
+    rides the remote-device tunnel every call), so padding an 11-request
+    batch to 64 ships ~6x the bytes the requests need — measured 172 ms
+    classify p50 under 32-client load where the compute is ~10 ms. Each
+    bucket is one compiled program (warmed at boot, replayed from the
+    persistent compile cache on restarts). MMDX_CLASSIFY_BUCKETS=comma-list
+    overrides.
+    """
+    raw = os.environ.get("MMDX_CLASSIFY_BUCKETS", "")
+    if raw:
+        ladder = {int(x) for x in raw.split(",")
+                  if x.strip() and 0 < int(x) <= max_batch}
+    else:
+        ladder = {1, 8}
+        b = 16
+        while b < max_batch:
+            ladder.add(b)
+            b *= 2
+    ladder.add(max_batch)
+    return tuple(sorted(b for b in ladder if 0 < b <= max_batch))
 
 
 @dataclass
@@ -68,8 +98,12 @@ class MicroBatcher:
         self.generate = generate
         self.greedy = greedy
         # beam decode throughput saturates at B=64 on v5e (larger batches
-        # cost MORE per report); coalesced generate batches cap here
-        self.gen_max_batch = gen_max_batch
+        # cost MORE per report); coalesced generate batches cap here.
+        # Never below max_batch: a single classified handoff must fit one
+        # generate bucket (an over-bucket batch would hit the decoder at a
+        # novel shape — a fresh multi-minute TPU compile mid-traffic)
+        self.gen_max_batch = max(gen_max_batch, max_batch)
+        self.classify_buckets = classify_bucket_ladder(max_batch)
         self.gen = None
         if gen_overrides:
             import dataclasses
@@ -142,7 +176,7 @@ class MicroBatcher:
 
     # -- stage 1: collect + classify --------------------------------------
     def _classify_bucket(self, n: int) -> int:
-        for b in sorted({1, min(8, self.max_batch), self.max_batch}):
+        for b in self.classify_buckets:
             if b >= n:
                 return b
         return self.max_batch
@@ -176,19 +210,20 @@ class MicroBatcher:
             if not items:
                 continue
             try:
-                # pad to the coarse {1, 8, max_batch} bucket ladder so
-                # compiled programs are reused — same cold-start argument as
-                # gen_bucket (every distinct batch size is a separate TPU
-                # program); the padded classify compute is ~ms, noise next
-                # to a report generation
+                # bucket the batch size so compiled programs are reused —
+                # every distinct batch size is a separate TPU program. The
+                # engine pads the STACKED arrays (pad_to=...): padding the
+                # item list here would re-decode the pad image per copy in
+                # this stage thread, serialized with device dispatch
                 n = len(items)
                 bucket = self._classify_bucket(n)
-                images = [it.image for it in items] + [items[0].image] * (bucket - n)
-                texts = [it.text for it in items] + [items[0].text] * (bucket - n)
+                images = [it.image for it in items]
+                texts = [it.text for it in items]
                 import time
 
                 t0 = time.perf_counter()
-                probs, z_img, z_txt = self.engine.classify_batch(images, texts)
+                probs, z_img, z_txt = self.engine.classify_batch(
+                    images, texts, pad_to=bucket)
                 dt = time.perf_counter() - t0
                 with self._stats_lock:
                     self._n_batches += 1
@@ -251,14 +286,24 @@ class MicroBatcher:
 
     def _generate_loop(self):
         done = False
-        while not done:
-            h = self._handoff.get()
-            if h is None:
-                break
+        carry = None  # handoff that would have overflowed the previous merge
+        while True:
+            if carry is not None:
+                h, carry = carry, None
+            else:
+                if done:
+                    break
+                h = self._handoff.get()
+                if h is None:
+                    break
             # coalesce: merge every batch that classified while the previous
             # generation was running into this decode call (see module doc —
             # decode wall-clock is ~flat in batch size, so this multiplies
-            # throughput under concurrent load)
+            # throughput under concurrent load). NEVER past gen_max_batch:
+            # an over-bucket merge would reach the decoder at a novel batch
+            # shape, i.e. a fresh multi-minute TPU compile mid-traffic (this
+            # exact stall measured as a 16 s p99 under 32-client load) — a
+            # handoff that doesn't fit carries over to the next call instead
             merged = [h]
             total = len(h.items)
             while total < self.gen_max_batch:
@@ -268,6 +313,9 @@ class MicroBatcher:
                     break
                 if nxt is None:
                     done = True  # classify stage is finished; exit after this
+                    break
+                if total + len(nxt.items) > self.gen_max_batch:
+                    carry = nxt
                     break
                 merged.append(nxt)
                 total += len(nxt.items)

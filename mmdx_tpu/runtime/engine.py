@@ -494,17 +494,31 @@ class InferenceEngine:
             np.float32,
         )
 
-    def classify_batch(self, images, texts: list[str]):
-        """-> (probs [B,13] np.float32, z_img, z_txt)."""
+    def classify_batch(self, images, texts: list[str], pad_to: int | None = None):
+        """-> (probs [B,13] np.float32, z_img, z_txt).
+
+        ``pad_to``: pad the STACKED batch to this size (repeat last row) so
+        bucketed serving reuses one compiled program per bucket; outputs are
+        sliced back to the true batch. Padding here (after decode/tokenize)
+        keeps the serving stage from re-decoding pad images per call.
+        """
         imgs = self.prep_images(images)
         tok = self.prep_texts(texts)
-        (imgs, ids, mask, tt), n = self._shard_inputs(
-            imgs, tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
-        )
+        n0 = int(imgs.shape[0])
+        ids, mask, tt = (tok["input_ids"], tok["attention_mask"],
+                         tok["token_type_ids"])
+        if pad_to is not None and pad_to > n0:
+            k = pad_to - n0
+
+            def _pad(a):
+                return np.concatenate([a, np.repeat(a[-1:], k, axis=0)])
+
+            imgs, ids, mask, tt = _pad(imgs), _pad(ids), _pad(mask), _pad(tt)
+        (imgs, ids, mask, tt), _ = self._shard_inputs(imgs, ids, mask, tt)
         qp = self._ensure_qparams(imgs) if self.mode == "turbo" else None
         fn = self._classify_fn(tuple(imgs.shape))
         probs, z_img, z_txt = fn(self.variables, qp, imgs, ids, mask, tt)
-        return np.asarray(probs, np.float32)[:n], z_img[:n], z_txt[:n]
+        return np.asarray(probs, np.float32)[:n0], z_img[:n0], z_txt[:n0]
 
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
                          greedy: bool = False) -> list[str]:

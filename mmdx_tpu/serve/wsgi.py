@@ -107,10 +107,12 @@ class DiagnosisApp:
                     import numpy as np
 
                     eng = batcher.engine
-                    for b in sorted({min(8, batcher.max_batch),
-                                     batcher.max_batch}):
+                    for b in batcher.classify_buckets:
                         if b > 1:
-                            eng.classify_batch([img] * b, ["warmup"] * b)
+                            # one real image + pad_to=b compiles the same
+                            # bucket program traffic uses, without decoding
+                            # b copies of the sample
+                            eng.classify_batch([img], ["warmup"], pad_to=b)
                     if batcher.generate:
                         cfg = eng.bundle.config.fusion
                         for b in sorted({batcher.gen_bucket(2),
@@ -281,6 +283,13 @@ class DiagnosisApp:
             return self._json(start_response, 400, {"error": "Missing 'image' file."})
         try:
             image_pil = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            # decode to ndarray HERE, in the per-request handler thread —
+            # PIL releases the GIL during decode, so concurrent requests
+            # decode in parallel instead of serializing inside the
+            # batcher's classify stage (which paces the device)
+            import numpy as np
+
+            image_arr = np.asarray(image_pil)
         except Exception:
             return self._json(start_response, 400, {"error": "Invalid image format."})
 
@@ -288,7 +297,7 @@ class DiagnosisApp:
 
         try:
             preds = self._get_batcher().infer(
-                image_pil, patient_details, timeout=self.predict_timeout_s
+                image_arr, patient_details, timeout=self.predict_timeout_s
             )
         except BatcherSaturated as e:
             # bounded-queue backpressure: shed load instead of queueing

@@ -38,10 +38,10 @@ class _CountingEngine:
         self.calls = []
         self._lock = threading.Lock()
 
-    def classify_batch(self, images, texts):
+    def classify_batch(self, images, texts, pad_to=None):
         with self._lock:
             self.calls.append(len(images))
-        return self._engine.classify_batch(images, texts)
+        return self._engine.classify_batch(images, texts, pad_to=pad_to)
 
     def __getattr__(self, name):
         return getattr(self._engine, name)
@@ -127,10 +127,10 @@ class _StageProbeEngine:
         with self._lock:
             self.timeline.append((event, tag))
 
-    def classify_batch(self, images, texts):
+    def classify_batch(self, images, texts, pad_to=None):
         tag = texts[0]
         self._log("classify_start", tag)
-        n = len(images)
+        n = len(images)  # real engine slices outputs back to the true batch
         probs = np.full((n, 13), 0.25, np.float32)
         self._log("classify_end", tag)
         return probs, np.zeros((n, 4), np.float32), np.zeros((n, 4), np.float32)
@@ -403,6 +403,50 @@ def test_generate_coalescing_respects_cap():
         for f in futures:
             assert f.result(timeout=30)["report_text"] == "report"
         assert max(engine.gen_sizes) <= 2, engine.gen_sizes
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_gen_coalesce_carries_overflowing_handoff():
+    """A handoff that would push the merge past gen_max_batch must CARRY to
+    the next decode call, not ride along: merging e.g. 6+6+6 = 18 > 16 hits
+    the decoder at a novel batch shape — a fresh multi-minute TPU compile
+    mid-traffic (measured as a 16 s p99 under 32-client load). Handoff sizes
+    here (6) deliberately don't divide gen_max_batch (16) so the old
+    ``while total < cap`` merge WOULD overshoot."""
+    import time
+
+    gate = threading.Event()
+    engine = _StageProbeEngine(gen_gate=gate)
+    batcher = MicroBatcher(engine, max_batch=6, max_wait_ms=40.0,
+                           generate=True, gen_max_batch=16)
+    futures = []
+    try:
+        # wave 1 classifies; its generation blocks on the gate
+        futures += [batcher.submit("img", "batch1") for _ in range(6)]
+        deadline = time.time() + 20
+        while ("generate_start", "gen") not in engine.timeline:
+            assert time.time() < deadline, engine.timeline
+            time.sleep(0.01)
+        # three more waves pile up as classified handoffs (18 items > 16)
+        for w in (2, 3, 4):
+            futures += [batcher.submit("img", f"batch{w}") for _ in range(6)]
+            deadline = time.time() + 20
+            while sum(1 for e in engine.timeline
+                      if e[0] == "classify_end") < w:
+                assert time.time() < deadline, engine.timeline
+                time.sleep(0.01)
+        gate.set()
+        for f in futures:
+            assert len(f.result(timeout=30)["disease_probs"]) == 13
+        # every decode call rode a ladder bucket; nothing overshot the cap
+        assert engine.gen_sizes, "no generation ran"
+        assert all(s <= 16 for s in engine.gen_sizes), engine.gen_sizes
+        assert all(s in {1, 8, 16} for s in engine.gen_sizes), engine.gen_sizes
+        # the 18-item backlog forced at least one carry (a merge stopped at
+        # the cap) — so some call actually coalesced up to the 16 bucket
+        assert max(engine.gen_sizes) == 16, engine.gen_sizes
     finally:
         gate.set()
         batcher.stop()

@@ -264,9 +264,10 @@ def test_boot_warmup_precompiles_bucket_ladder(rng):
     real_classify, real_generate = (
         batcher.engine.classify_batch, batcher.engine.generate_reports)
 
-    def rec_classify(images, texts):
-        classify_sizes.append(len(images))
-        return real_classify(images, texts)
+    def rec_classify(images, texts, pad_to=None):
+        # the compiled program's batch size is the padded bucket
+        classify_sizes.append(pad_to or len(images))
+        return real_classify(images, texts, pad_to=pad_to)
 
     def rec_generate(z_img, z_txt, gen=None, greedy=False):
         gen_sizes.append(int(z_img.shape[0]))
