@@ -229,7 +229,9 @@ def main():
             log(f"[bench] {name} generate compile+first: "
                 f"{time.perf_counter() - t0:.1f}s")
             best_gen = None
-            for _ in range(2):
+            # 4 reps: each call pays ~30 ms of fixed tunnel RPC with real
+            # jitter; 2 reps left ±25% run-to-run swings in the gen numbers
+            for _ in range(4):
                 t0 = time.perf_counter()
                 eng.generate_reports(z_img, z_txt, greedy=greedy)
                 dt = time.perf_counter() - t0
@@ -280,7 +282,7 @@ def main():
                 log(f"[bench] beam4-int8kv compile+first: "
                     f"{time.perf_counter() - t0:.1f}s")
                 best_gen = None
-                for _ in range(2):
+                for _ in range(4):
                     t0 = time.perf_counter()
                     engine_t.generate_reports(z_img, z_txt, greedy=False)
                     dt = time.perf_counter() - t0

@@ -59,6 +59,32 @@ def decode_images(sources, workers: int | None = None) -> list[np.ndarray]:
         return list(pool.map(decode_image, sources))
 
 
+def wire_image_u8(src, resize_size: int = 256) -> np.ndarray:
+    """Decode + stage-1 of the reference transform (shorter-side resize to
+    ``resize_size``), on the host. Grayscale stays 1-channel.
+
+    Serving applies this in the per-request HTTP handler so what crosses the
+    host->device boundary is the post-resize image (~65-196 KB) instead of
+    the raw decode (~0.8 MB at 512x512x3): under remote-device serving the
+    measured bottleneck is the ~50 MB/s transfer tunnel, not device compute
+    (B=16 classify: 240 ms transfer vs ~3 ms compute). Uses PIL's own resize
+    (the op ``ops.resize.resize_u8_exact`` replicates bit-for-bit), and the
+    device preproc's same-size resize is an exact identity — so end-to-end
+    preprocessing, including the uint8 rounding point after stage 1, equals
+    the reference's Resize(256) -> CenterCrop(224)
+    (reference ``training_pipeline.py:112-119``) exactly.
+    """
+    from mmdx_tpu.ops import resize as R
+
+    arr = decode_image(src)
+    h, w = arr.shape[:2]
+    nh, nw = R.shorter_side_target(h, w, resize_size)
+    if (nh, nw) == (h, w):
+        return arr
+    pil = Image.fromarray(arr)  # mode L (2-D) or RGB by array shape
+    return np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.uint8)
+
+
 def to_canonical_u8(img: np.ndarray, size: int = 512) -> np.ndarray:
     """Letterbox-free canonicalization for fixed-shape device preprocessing.
 

@@ -78,25 +78,25 @@ class DiagnosisApp:
         def run():
             try:
                 batcher = self._get_batcher()
-                # warm at the engine's CANONICAL square size: that is the
-                # exact program mixed-shape traffic canonicalizes to, and
-                # registering it as a "raw" shape coincides with the
-                # canonical shape instead of burning one of the
-                # max_raw_shapes jit slots on a size no client ever sends.
-                # Use a PACKAGED SAMPLE X-RAY, not a flat synthetic: in
-                # turbo mode without persisted scales the FIRST batch
-                # calibrates the int8 tower, and a gray card would pin the
-                # activation grid to degenerate ranges
-                size = getattr(batcher.engine, "canonical_size", 512)
+                # warm with the SAME wire prep the predict handler applies
+                # (decode + host shorter-side resize), so the compiled raw
+                # shape is exactly what traffic submits. Use a PACKAGED
+                # SAMPLE X-RAY, not a flat synthetic: in turbo mode without
+                # persisted scales the FIRST batch calibrates the int8
+                # tower, and a gray card would pin the activation grid to
+                # degenerate ranges
+                import numpy as np
+
+                from mmdx_tpu.io.images import wire_image_u8
+
+                rs = batcher.engine.bundle.config.image.resize_size
                 sample_dir = (Path(__file__).resolve().parent
                               / "sample_data/sample_images")
                 samples = sorted(sample_dir.glob("*.jpg"))
                 if samples:
-                    img = Image.open(samples[0]).convert("RGB").resize(
-                        (size, size)
-                    )
+                    img = wire_image_u8(samples[0].read_bytes(), rs)
                 else:
-                    img = Image.new("RGB", (size, size), (128, 128, 128))
+                    img = np.full((rs, rs, 1), 128, np.uint8)
                 batcher.infer(img, "warmup", timeout=None)
                 # pre-compile the BATCHED bucket programs (classify + the
                 # coalesced-generate ladder) so the first traffic burst
@@ -104,15 +104,21 @@ class DiagnosisApp:
                 # compile cache makes this near-free on restarts.
                 # MMDX_WARMUP_BUCKETS=0 keeps only the bucket-1 warm above.
                 if os.getenv("MMDX_WARMUP_BUCKETS", "1") != "0":
-                    import numpy as np
-
                     eng = batcher.engine
+                    # channel count is part of the compiled shape: warm the
+                    # sample's variant AND the other one (grayscale wires as
+                    # 1ch, color as 3ch — traffic may send either)
+                    img3 = img[:, :, None] if img.ndim == 2 else img
+                    other = (np.repeat(img3, 3, -1) if img3.shape[-1] == 1
+                             else img3[:, :, :1])
                     for b in batcher.classify_buckets:
-                        if b > 1:
+                        for v in (img, other):
+                            if b == 1 and v is img:
+                                continue  # warmed by the infer above
                             # one real image + pad_to=b compiles the same
                             # bucket program traffic uses, without decoding
                             # b copies of the sample
-                            eng.classify_batch([img], ["warmup"], pad_to=b)
+                            eng.classify_batch([v], ["warmup"], pad_to=b)
                     if batcher.generate:
                         cfg = eng.bundle.config.fusion
                         for b in sorted({batcher.gen_bucket(2),
@@ -281,22 +287,29 @@ class DiagnosisApp:
 
         if not image_bytes:
             return self._json(start_response, 400, {"error": "Missing 'image' file."})
+        batcher = self._get_batcher()
         try:
-            image_pil = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-            # decode to ndarray HERE, in the per-request handler thread —
-            # PIL releases the GIL during decode, so concurrent requests
-            # decode in parallel instead of serializing inside the
-            # batcher's classify stage (which paces the device)
-            import numpy as np
+            rs = int(batcher.engine.bundle.config.image.resize_size)
+        except AttributeError:  # engines/fakes without a config surface
+            rs = 256
+        try:
+            # decode + stage-1 shorter-side resize HERE, in the per-request
+            # handler thread: PIL releases the GIL (concurrent requests
+            # decode in parallel instead of serializing inside the batcher's
+            # classify stage), and the post-resize image is what crosses the
+            # ~50 MB/s host->device tunnel — 4-12x fewer bytes than the raw
+            # decode, with reference-exact preprocessing semantics
+            # (io.images.wire_image_u8)
+            from mmdx_tpu.io.images import wire_image_u8
 
-            image_arr = np.asarray(image_pil)
+            image_arr = wire_image_u8(image_bytes, rs)
         except Exception:
             return self._json(start_response, 400, {"error": "Invalid image format."})
 
         from mmdx_tpu.runtime.batcher import BatcherSaturated
 
         try:
-            preds = self._get_batcher().infer(
+            preds = batcher.infer(
                 image_arr, patient_details, timeout=self.predict_timeout_s
             )
         except BatcherSaturated as e:

@@ -71,3 +71,27 @@ def test_preprocess_device_close_to_exact(sample_image_paths):
     assert np.max(np.abs(out - exact)) < 2.5 / 255.0 / 0.225
     # and matches to <1 uint8 ULP on average
     assert np.mean(np.abs(out - exact)) < 0.5 / 255.0 / 0.225
+
+
+def test_wire_image_stage1_is_preprocessing_exact(rng):
+    """Serving's host-side wire resize (io.images.wire_image_u8) must be
+    bit-exactly the first stage of the reference transform: running the full
+    exact preprocess on the wire image equals running it on the raw decode.
+    Guards the (w, h) PIL argument order and the shorter-side convention for
+    gray/color, downscale/upscale, and non-square inputs."""
+    from mmdx_tpu.io.images import wire_image_u8
+    from mmdx_tpu.ops.preprocess import preprocess_exact
+
+    cases = [
+        (300, 200, 1),   # portrait gray, downscale
+        (513, 400, 3),   # color, downscale
+        (120, 180, 1),   # small gray, upscale
+        (256, 341, 3),   # shorter side already 256 (wire is identity)
+    ]
+    for h, w, c in cases:
+        raw = rng.integers(0, 256, (h, w) if c == 1 else (h, w, c),
+                           dtype=np.uint8)
+        wired = wire_image_u8(raw, 256)
+        a = preprocess_exact(raw, 224, 256)
+        b = preprocess_exact(wired, 224, 256)
+        np.testing.assert_array_equal(a, b, err_msg=f"case {(h, w, c)}")
