@@ -222,8 +222,13 @@ class MicroBatcher:
                 import time
 
                 t0 = time.perf_counter()
+                # host_outputs: z must come back as numpy — the generate
+                # stage assembles merges with host slices/concats, and
+                # device-resident z would turn those into per-shape eager
+                # device compiles (seconds each through remote compile;
+                # measured as ~15 s p99 waves under load)
                 probs, z_img, z_txt = self.engine.classify_batch(
-                    images, texts, pad_to=bucket)
+                    images, texts, pad_to=bucket, host_outputs=True)
                 dt = time.perf_counter() - t0
                 with self._stats_lock:
                     self._n_batches += 1
@@ -327,15 +332,18 @@ class MicroBatcher:
                             it.future.set_exception(err)
                 continue
             try:
-                # jnp keeps device-resident z embeddings ON DEVICE (the
-                # classify outputs live there): np.asarray here would be a
-                # blocking device->host fetch per handoff — ~30 ms of fixed
-                # RPC each through the remote-device tunnel
-                import jax.numpy as jnp
+                # assemble the merged batch in NUMPY (z arrives host-side
+                # from the classify stage): every slice/concat/pad here has
+                # a shape that varies with the live batch mix, and as eager
+                # DEVICE ops each novel shape would be a fresh multi-second
+                # remote compile — the measured ~15 s p99 stall waves under
+                # 32-client load. Host assembly is shape-oblivious; the one
+                # device program that runs is the warmed gen-bucket decode
+                import numpy as np
 
-                zi = jnp.concatenate(
+                zi = np.concatenate(
                     [b.z_img[:len(b.items)] for b in merged])
-                zt = jnp.concatenate(
+                zt = np.concatenate(
                     [b.z_txt[:len(b.items)] for b in merged])
                 # pad the combined batch to a COARSE bucket so the decode
                 # program is reused across load patterns. Decode wall-clock
@@ -346,12 +354,10 @@ class MicroBatcher:
                 n = zi.shape[0]
                 bucket = self.gen_bucket(n)
                 if bucket > n:
-                    reps = jnp.broadcast_to(
-                        zi[-1:], (bucket - n,) + zi.shape[1:])
-                    zi = jnp.concatenate([zi, reps])
-                    reps = jnp.broadcast_to(
-                        zt[-1:], (bucket - n,) + zt.shape[1:])
-                    zt = jnp.concatenate([zt, reps])
+                    zi = np.concatenate(
+                        [zi, np.repeat(zi[-1:], bucket - n, axis=0)])
+                    zt = np.concatenate(
+                        [zt, np.repeat(zt[-1:], bucket - n, axis=0)])
                 import time
 
                 t0 = time.perf_counter()

@@ -494,13 +494,22 @@ class InferenceEngine:
             np.float32,
         )
 
-    def classify_batch(self, images, texts: list[str], pad_to: int | None = None):
+    def classify_batch(self, images, texts: list[str], pad_to: int | None = None,
+                       host_outputs: bool = False):
         """-> (probs [B,13] np.float32, z_img, z_txt).
 
         ``pad_to``: pad the STACKED batch to this size (repeat last row) so
         bucketed serving reuses one compiled program per bucket; outputs are
         sliced back to the true batch. Padding here (after decode/tokenize)
         keeps the serving stage from re-decoding pad images per call.
+
+        ``host_outputs``: fetch z_img/z_txt to host (one ``device_get``) and
+        slice in numpy. The serving batcher REQUIRES this: device-resident z
+        makes every downstream slice/concat/pad an eager device op whose
+        shape varies with the live batch mix, and each novel shape is a
+        fresh (multi-second, remote) compile — measured as recurring ~15 s
+        p99 waves under 32-client load. A ~100 KB d2h per batch is noise
+        next to that, and it pipelines with the generate stage.
         """
         imgs = self.prep_images(images)
         tok = self.prep_texts(texts)
@@ -518,6 +527,9 @@ class InferenceEngine:
         qp = self._ensure_qparams(imgs) if self.mode == "turbo" else None
         fn = self._classify_fn(tuple(imgs.shape))
         probs, z_img, z_txt = fn(self.variables, qp, imgs, ids, mask, tt)
+        if host_outputs:
+            probs, z_img, z_txt = jax.device_get((probs, z_img, z_txt))
+            z_img, z_txt = np.asarray(z_img), np.asarray(z_txt)
         return np.asarray(probs, np.float32)[:n0], z_img[:n0], z_txt[:n0]
 
     def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,

@@ -38,10 +38,11 @@ class _CountingEngine:
         self.calls = []
         self._lock = threading.Lock()
 
-    def classify_batch(self, images, texts, pad_to=None):
+    def classify_batch(self, images, texts, pad_to=None, host_outputs=False):
         with self._lock:
             self.calls.append(len(images))
-        return self._engine.classify_batch(images, texts, pad_to=pad_to)
+        return self._engine.classify_batch(
+            images, texts, pad_to=pad_to, host_outputs=host_outputs)
 
     def __getattr__(self, name):
         return getattr(self._engine, name)
@@ -127,7 +128,7 @@ class _StageProbeEngine:
         with self._lock:
             self.timeline.append((event, tag))
 
-    def classify_batch(self, images, texts, pad_to=None):
+    def classify_batch(self, images, texts, pad_to=None, host_outputs=False):
         tag = texts[0]
         self._log("classify_start", tag)
         n = len(images)  # real engine slices outputs back to the true batch

@@ -264,10 +264,11 @@ def test_boot_warmup_precompiles_bucket_ladder(rng):
     real_classify, real_generate = (
         batcher.engine.classify_batch, batcher.engine.generate_reports)
 
-    def rec_classify(images, texts, pad_to=None):
+    def rec_classify(images, texts, pad_to=None, host_outputs=False):
         # the compiled program's batch size is the padded bucket
         classify_sizes.append(pad_to or len(images))
-        return real_classify(images, texts, pad_to=pad_to)
+        return real_classify(images, texts, pad_to=pad_to,
+                             host_outputs=host_outputs)
 
     def rec_generate(z_img, z_txt, gen=None, greedy=False):
         gen_sizes.append(int(z_img.shape[0]))
