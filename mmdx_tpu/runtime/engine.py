@@ -120,9 +120,15 @@ class InferenceEngine:
                         os.environ.get("MMDX_FUSED_CROSS_FFN", "1") != "0"
                     ),
                     # streaming lm_head+selection (ops/pallas_lm_head):
-                    # MMDX_FUSED_LM_HEAD=0 reverts to the dense chain
+                    # measured NET LOSS on v5e-1 at production sizes
+                    # (same-process A/B, 3 salted reps: beam-4 209.4 vs
+                    # 216.9 dense, greedy 522.2 vs 528.0) — XLA's fusions
+                    # over the dense bf16 logit chain already avoid the
+                    # round-trips the kernel was built to save. Default OFF;
+                    # MMDX_FUSED_LM_HEAD=1 opts in (kernel + parity tests
+                    # retained)
                     use_fused_lm_head=(
-                        os.environ.get("MMDX_FUSED_LM_HEAD", "1") != "0"
+                        os.environ.get("MMDX_FUSED_LM_HEAD", "") == "1"
                     ),
                 ),
             )
