@@ -360,6 +360,27 @@ class InferenceEngine:
                flat_greedy)
         if key not in self._generate_cache:
             model = self.model
+            if (greedy and self.model_config.report.use_fused_cross_ffn
+                    and os.environ.get("MMDX_FUSED_CROSS_FFN", "") != "1"):
+                # fixed-length on-chip A/B: the fused cross-attn+FFN decoder
+                # half-step WINS at beam row counts (N=256: 215.8 vs 202.1
+                # reports/s) but LOSES at greedy's N=64 (509.8 vs 537.3) —
+                # kernel block overhead outweighs the fusion below ~128
+                # rows. Greedy decodes unfused unless MMDX_FUSED_CROSS_FFN=1
+                # forces the kernel everywhere. Same param tree either way
+                # (the kernel is a compute-path change only).
+                import dataclasses
+
+                model = MultiModalDiagnosisModel(
+                    config=dataclasses.replace(
+                        self.model_config,
+                        report=dataclasses.replace(
+                            self.model_config.report,
+                            use_fused_cross_ffn=False,
+                        ),
+                    ),
+                    dtype=self.dtype,
+                )
             rep = self.bundle.config.report
             fusion_method = MultiModalDiagnosisModel.prepare_generation
             # parity mode forces true-fp32 dots in the decode program too
