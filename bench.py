@@ -219,13 +219,28 @@ def main():
     if os.environ.get("MMDX_BENCH_GEN", "1") != "0":
         rng_g = np.random.default_rng(1)
         gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "64"))
-        z_img = jnp.asarray(rng_g.standard_normal((gb, cfg.fusion.d_img)), jnp.float32)
-        z_txt = jnp.asarray(rng_g.standard_normal((gb, cfg.fusion.d_txt)), jnp.float32)
+        # greedy keeps scaling past the beam-optimal batch (measured:
+        # 569/890/991 reports/s at B=64/128/256 fixed-length) — report the
+        # high-batch greedy tier too
+        gb_max = int(os.environ.get("MMDX_BENCH_GEN_BATCH_MAX", "256"))
+
+        def make_z(n):
+            return (
+                jnp.asarray(rng_g.standard_normal((n, cfg.fusion.d_img)),
+                            jnp.float32),
+                jnp.asarray(rng_g.standard_normal((n, cfg.fusion.d_txt)),
+                            jnp.float32),
+            )
+
+        z_img, z_txt = make_z(gb)
         rates = {}
 
-        def measure_gen(eng, name, greedy):
+        def measure_gen(eng, name, greedy, zi=None, zt=None, n=None):
+            zi = z_img if zi is None else zi
+            zt = z_txt if zt is None else zt
+            n = n or gb
             t0 = time.perf_counter()
-            eng.generate_reports(z_img, z_txt, greedy=greedy)
+            eng.generate_reports(zi, zt, greedy=greedy)
             log(f"[bench] {name} generate compile+first: "
                 f"{time.perf_counter() - t0:.1f}s")
             best_gen = None
@@ -233,17 +248,21 @@ def main():
             # jitter; 2 reps left ±25% run-to-run swings in the gen numbers
             for _ in range(4):
                 t0 = time.perf_counter()
-                eng.generate_reports(z_img, z_txt, greedy=greedy)
+                eng.generate_reports(zi, zt, greedy=greedy)
                 dt = time.perf_counter() - t0
                 best_gen = dt if best_gen is None else min(best_gen, dt)
-            rates[name] = gb / best_gen
+            rates[name] = n / best_gen
             log(f"[bench] {name} 150-180tok generation: {rates[name]:.1f} "
-                f"reports/s/chip ({best_gen / gb * 1e3:.0f} ms/report "
-                f"amortized at B={gb})")
+                f"reports/s/chip ({best_gen / n * 1e3:.1f} ms/report "
+                f"amortized at B={n})")
 
         try:
             for name, greedy in (("beam4", False), ("greedy", True)):
                 measure_gen(engine, name, greedy)
+            if gb_max > gb:
+                zi_m, zt_m = make_z(gb_max)
+                measure_gen(engine, "greedy_bmax", True,
+                            zi=zi_m, zt=zt_m, n=gb_max)
         except Exception as e:  # noqa: BLE001
             # never lose the whole bench to a decode-path kernel failure:
             # peel the newest kernels off one at a time (streaming lm_head,
@@ -325,6 +344,10 @@ def main():
                 "beam4_reports_per_s_chip": round(rates["beam4"], 1),
                 **({"greedy_reports_per_s_chip": round(rates["greedy"], 1)}
                    if "greedy" in rates else {}),
+                **({"greedy_bmax_reports_per_s_chip":
+                    round(rates["greedy_bmax"], 1),
+                    "greedy_bmax_batch": gb_max}
+                   if "greedy_bmax" in rates else {}),
                 "beam4_gen_batch": gb,
                 "e2e_classify_plus_beam4_report_per_s_chip": round(e2e, 1),
                 **({"beam4_int8kv_reports_per_s_chip":
