@@ -59,7 +59,7 @@ def decode_images(sources, workers: int | None = None) -> list[np.ndarray]:
         return list(pool.map(decode_image, sources))
 
 
-def wire_image_u8(src, resize_size: int = 256) -> np.ndarray:
+def wire_image_u8(src, resize_size: int = 256, square: bool = False) -> np.ndarray:
     """Decode + stage-1 of the reference transform (shorter-side resize to
     ``resize_size``), on the host. Grayscale stays 1-channel.
 
@@ -73,16 +73,27 @@ def wire_image_u8(src, resize_size: int = 256) -> np.ndarray:
     preprocessing, including the uint8 rounding point after stage 1, equals
     the reference's Resize(256) -> CenterCrop(224)
     (reference ``training_pipeline.py:112-119``) exactly.
+
+    ``square=True`` additionally center-crops to (resize_size, resize_size).
+    Center crops COMPOSE exactly — round((H-256)/2) + 16 == round((H-224)/2)
+    for every H since the offsets differ by the integer 16 — so the square
+    wire image yields bit-identical preprocessing for ANY aspect ratio while
+    pinning the serving transfer/compile shape to one value (a novel raw
+    shape mid-traffic is a multi-minute remote compile).
     """
     from mmdx_tpu.ops import resize as R
 
     arr = decode_image(src)
     h, w = arr.shape[:2]
     nh, nw = R.shorter_side_target(h, w, resize_size)
-    if (nh, nw) == (h, w):
-        return arr
-    pil = Image.fromarray(arr)  # mode L (2-D) or RGB by array shape
-    return np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.uint8)
+    if (nh, nw) != (h, w):
+        pil = Image.fromarray(arr)  # mode L (2-D) or RGB by array shape
+        arr = np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.uint8)
+    if square and arr.shape[:2] != (resize_size, resize_size):
+        top, left = R.center_crop_bounds(
+            arr.shape[0], arr.shape[1], resize_size)
+        arr = arr[top:top + resize_size, left:left + resize_size]
+    return arr
 
 
 def to_canonical_u8(img: np.ndarray, size: int = 512) -> np.ndarray:

@@ -234,7 +234,8 @@ class InferenceEngine:
             canon = [np.repeat(c, 3, -1) if c.shape[-1] == 1 else c for c in canon]
         return np.stack(canon)
 
-    def prep_texts(self, texts: list[str]) -> dict[str, np.ndarray]:
+    def prep_texts(self, texts: list[str],
+                   fixed_len: bool = False) -> dict[str, np.ndarray]:
         """Tokenize to the model's max_len (reference semantics) in parity mode.
 
         Fast mode buckets the pad length to the smallest of {32, 48, 64, ...}
@@ -242,9 +243,15 @@ class InferenceEngine:
         invariant to trailing pad tokens (they are masked out of attention and
         of the mean pool), so this is a pure speedup — FFN/QKV FLOPs scale
         with the padded length the reference always fixes at 96.
+
+        ``fixed_len=True`` disables bucketing (always max_len): bucketed
+        SERVING must hold every program shape constant — one long
+        patient-details string moving the bucket 32->48 mid-traffic would
+        compile a novel program (multi-minute remote compile). The extra
+        text-tower FLOPs are ~1-2 ms at serving batch sizes.
         """
         max_len = self.bundle.config.text.max_len
-        if self.mode in ("fast", "turbo"):
+        if self.mode in ("fast", "turbo") and not fixed_len:
             enc = self.bert_tok.encode_batch(texts, max_len=max_len)
             longest = int(enc["attention_mask"].sum(axis=1).max(initial=1))
             for bucket in bucket_ladder(max_len):
@@ -539,7 +546,10 @@ class InferenceEngine:
         next to that, and it pipelines with the generate stage.
         """
         imgs = self.prep_images(images)
-        tok = self.prep_texts(texts)
+        # bucketed callers (pad_to) get FIXED-length tokenization: the whole
+        # point of the bucket ladder is a closed, boot-warmed program set,
+        # and a batch-longest text bucket would reopen it per traffic mix
+        tok = self.prep_texts(texts, fixed_len=pad_to is not None)
         n0 = int(imgs.shape[0])
         ids, mask, tt = (tok["input_ids"], tok["attention_mask"],
                          tok["token_type_ids"])

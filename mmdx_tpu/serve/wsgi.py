@@ -94,7 +94,7 @@ class DiagnosisApp:
                               / "sample_data/sample_images")
                 samples = sorted(sample_dir.glob("*.jpg"))
                 if samples:
-                    img = wire_image_u8(samples[0].read_bytes(), rs)
+                    img = wire_image_u8(samples[0].read_bytes(), rs, square=True)
                 else:
                     img = np.full((rs, rs, 1), 128, np.uint8)
                 batcher.infer(img, "warmup", timeout=None)
@@ -302,7 +302,7 @@ class DiagnosisApp:
             # (io.images.wire_image_u8)
             from mmdx_tpu.io.images import wire_image_u8
 
-            image_arr = wire_image_u8(image_bytes, rs)
+            image_arr = wire_image_u8(image_bytes, rs, square=True)
         except Exception:
             return self._json(start_response, 400, {"error": "Invalid image format."})
 

@@ -95,3 +95,21 @@ def test_wire_image_stage1_is_preprocessing_exact(rng):
         a = preprocess_exact(raw, 224, 256)
         b = preprocess_exact(wired, 224, 256)
         np.testing.assert_array_equal(a, b, err_msg=f"case {(h, w, c)}")
+
+
+def test_wire_image_square_is_preprocessing_exact(rng):
+    """square=True pins the wire shape to (rs, rs) for any aspect ratio;
+    center crops compose (round((H-256)/2) + 16 == round((H-224)/2)), so the
+    full exact preprocess on the square wire image stays bit-identical."""
+    from mmdx_tpu.io.images import wire_image_u8
+    from mmdx_tpu.ops.preprocess import preprocess_exact
+
+    for h, w, c in [(300, 431, 1), (513, 257, 3), (119, 640, 1),
+                    (257, 256, 3)]:
+        raw = rng.integers(0, 256, (h, w) if c == 1 else (h, w, c),
+                           dtype=np.uint8)
+        wired = wire_image_u8(raw, 256, square=True)
+        assert wired.shape[:2] == (256, 256), (h, w, wired.shape)
+        a = preprocess_exact(raw, 224, 256)
+        b = preprocess_exact(wired, 224, 256)
+        np.testing.assert_array_equal(a, b, err_msg=f"case {(h, w, c)}")
