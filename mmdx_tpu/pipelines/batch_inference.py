@@ -53,7 +53,12 @@ def run(engine, paths: list[Path], details: dict[str, str], batch: int,
     pool = ThreadPoolExecutor(max_workers=1)
 
     def load(chunk):
-        imgs = [wire_image_u8(p.read_bytes(), rs) for p in chunk]
+        # square=True: one compiled classify shape for ANY mix of aspect
+        # ratios (center crops compose — bit-identical preprocessing), and
+        # mixed-shape chunks never fall to the aspect-squashing canonical
+        # path
+        imgs = [wire_image_u8(p.read_bytes(), rs, square=True)
+                for p in chunk]
         return imgs, [details.get(p.name, "") for p in chunk]
 
     chunks = [paths[i:i + batch] for i in range(0, len(paths), batch)]

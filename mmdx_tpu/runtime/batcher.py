@@ -98,11 +98,11 @@ class MicroBatcher:
         self.generate = generate
         self.greedy = greedy
         # beam decode throughput saturates at B=64 on v5e (larger batches
-        # cost MORE per report); coalesced generate batches cap here.
-        # Never below max_batch: a single classified handoff must fit one
-        # generate bucket (an over-bucket batch would hit the decoder at a
-        # novel shape — a fresh multi-minute TPU compile mid-traffic)
-        self.gen_max_batch = max(gen_max_batch, max_batch)
+        # cost MORE per report); coalesced generate batches cap here. The
+        # cap is REAL even when max_batch exceeds it: an oversized classified
+        # handoff is split across decode calls in _generate_loop (never
+        # silently re-bucketed — that would compile a novel decode shape)
+        self.gen_max_batch = gen_max_batch
         self.classify_buckets = classify_bucket_ladder(max_batch)
         self.gen = None
         if gen_overrides:
@@ -301,6 +301,16 @@ class MicroBatcher:
                 h = self._handoff.get()
                 if h is None:
                     break
+            # a handoff larger than the decode cap (classify max_batch can
+            # exceed gen_max_batch) splits across decode calls: process the
+            # first cap-sized piece now, carry the remainder (an oversized
+            # remainder re-splits next iteration)
+            if len(h.items) > self.gen_max_batch:
+                cap = self.gen_max_batch
+                carry = _Handoff(h.items[cap:], h.probs[cap:],
+                                 h.z_img[cap:], h.z_txt[cap:])
+                h = _Handoff(h.items[:cap], h.probs[:cap],
+                             h.z_img[:cap], h.z_txt[:cap])
             # coalesce: merge every batch that classified while the previous
             # generation was running into this decode call (see module doc —
             # decode wall-clock is ~flat in batch size, so this multiplies

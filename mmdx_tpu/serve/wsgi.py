@@ -111,6 +111,7 @@ class DiagnosisApp:
                     img3 = img[:, :, None] if img.ndim == 2 else img
                     other = (np.repeat(img3, 3, -1) if img3.shape[-1] == 1
                              else img3[:, :, :1])
+                    zi = zt = None
                     for b in batcher.classify_buckets:
                         for v in (img, other):
                             if b == 1 and v is img:
@@ -118,15 +119,22 @@ class DiagnosisApp:
                             # one real image + pad_to=b compiles the same
                             # bucket program traffic uses, without decoding
                             # b copies of the sample
-                            eng.classify_batch([v], ["warmup"], pad_to=b)
-                    if batcher.generate:
-                        cfg = eng.bundle.config.fusion
+                            _, zi, zt = eng.classify_batch(
+                                [v], ["warmup"], pad_to=b,
+                                host_outputs=True)
+                    if batcher.generate and zi is not None:
+                        # warm the gen buckets with REAL classify outputs:
+                        # traffic z arrives as the engine dtype (bf16 in
+                        # fast/turbo) and jit keys on dtype — f32 zeros here
+                        # would warm programs traffic never runs, leaving
+                        # the first coalesced generate per bucket to compile
+                        # mid-traffic
                         for b in sorted({batcher.gen_bucket(2),
                                          batcher.gen_max_batch}):
                             if b > 1:
                                 eng.generate_reports(
-                                    np.zeros((b, cfg.d_img), np.float32),
-                                    np.zeros((b, cfg.d_txt), np.float32),
+                                    np.repeat(zi[:1], b, axis=0),
+                                    np.repeat(zt[:1], b, axis=0),
                                     batcher.gen, greedy=batcher.greedy,
                                 )
                 self._warmup_state = "done"
@@ -287,24 +295,27 @@ class DiagnosisApp:
 
         if not image_bytes:
             return self._json(start_response, 400, {"error": "Missing 'image' file."})
+        from mmdx_tpu.io.images import decode_image, wire_image_u8
+
+        try:
+            # validate/decode BEFORE touching the batcher: a junk upload to
+            # a cold server must 400 without booting the engine
+            image_raw = decode_image(image_bytes)
+        except Exception:
+            return self._json(start_response, 400, {"error": "Invalid image format."})
         batcher = self._get_batcher()
         try:
             rs = int(batcher.engine.bundle.config.image.resize_size)
         except AttributeError:  # engines/fakes without a config surface
             rs = 256
-        try:
-            # decode + stage-1 shorter-side resize HERE, in the per-request
-            # handler thread: PIL releases the GIL (concurrent requests
-            # decode in parallel instead of serializing inside the batcher's
-            # classify stage), and the post-resize image is what crosses the
-            # ~50 MB/s host->device tunnel — 4-12x fewer bytes than the raw
-            # decode, with reference-exact preprocessing semantics
-            # (io.images.wire_image_u8)
-            from mmdx_tpu.io.images import wire_image_u8
-
-            image_arr = wire_image_u8(image_bytes, rs, square=True)
-        except Exception:
-            return self._json(start_response, 400, {"error": "Invalid image format."})
+        # stage-1 shorter-side resize + square crop HERE, in the per-request
+        # handler thread: PIL releases the GIL (concurrent requests decode in
+        # parallel instead of serializing inside the batcher's classify
+        # stage), and the post-resize (rs, rs) image is what crosses the
+        # ~50 MB/s host->device tunnel — 4-12x fewer bytes than the raw
+        # decode, one compiled shape for any aspect ratio, reference-exact
+        # semantics (io.images.wire_image_u8)
+        image_arr = wire_image_u8(image_raw, rs, square=True)
 
         from mmdx_tpu.runtime.batcher import BatcherSaturated
 

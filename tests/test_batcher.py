@@ -451,3 +451,28 @@ def test_gen_coalesce_carries_overflowing_handoff():
     finally:
         gate.set()
         batcher.stop()
+
+
+def test_oversized_handoff_splits_across_decode_calls():
+    """When classify's max_batch exceeds gen_max_batch, a single classified
+    handoff must SPLIT across decode calls at the cap — never silently
+    re-bucket the decoder (a novel decode shape is a multi-minute TPU
+    compile) and never raise the operator's decode cap."""
+    engine = _StageProbeEngine(distinct_reports=True)
+    batcher = MicroBatcher(engine, max_batch=10, max_wait_ms=60.0,
+                           generate=True, gen_max_batch=4)
+    assert batcher.gen_max_batch == 4  # the cap is not silently raised
+    futures = []
+    try:
+        futures += [batcher.submit("img", "batch1") for _ in range(10)]
+        results = [f.result(timeout=30) for f in futures]
+        # 10 items through a cap of 4 -> decode calls of 4, 4, 2 (padded to
+        # ladder buckets {1, 4}): every call size must be a ladder bucket
+        assert engine.gen_sizes, "no generation ran"
+        assert all(s <= 4 for s in engine.gen_sizes), engine.gen_sizes
+        assert sum(min(s, 4) for s in engine.gen_sizes) >= 10
+        # fan-out correctness across the split: each item got a report row
+        for r in results:
+            assert r["report_text"].startswith("r"), r
+    finally:
+        batcher.stop()
