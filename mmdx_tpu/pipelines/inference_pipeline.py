@@ -75,18 +75,23 @@ def clear_model_bundle() -> None:
 _ENGINE_CACHE_MAX = 4  # old engines pin full weight sets + jit caches
 
 
-def get_engine(model_bundle: ModelBundle, mode: str = "parity") -> InferenceEngine:
-    """Engine per (bundle object, mode), LRU-bounded and lock-guarded.
+def get_engine(model_bundle: ModelBundle, mode: str = "parity",
+               mesh=None) -> InferenceEngine:
+    """Engine per (bundle object, mode, mesh), LRU-bounded and lock-guarded.
 
     A service that reloads its bundle after each daily training run gets a
     fresh engine per reload; the bound evicts the stale ones instead of
-    leaking one full model (weights + compiled programs) per version."""
-    key = (id(model_bundle), mode)
+    leaking one full model (weights + compiled programs) per version.
+
+    ``mesh``: optional jax.sharding.Mesh — weights replicate/tp-shard per
+    parallel/sharding rules and batches dp-shard over "data" (multi-chip
+    serving; the reference is strictly single-device)."""
+    key = (id(model_bundle), mode, id(mesh) if mesh is not None else None)
     with _LOCK:
         if key in _ENGINES:
             _ENGINES[key] = _ENGINES.pop(key)  # refresh LRU position
             return _ENGINES[key]
-    engine = InferenceEngine(model_bundle, mode=mode)
+    engine = InferenceEngine(model_bundle, mode=mode, mesh=mesh)
     with _LOCK:
         existing = _ENGINES.setdefault(key, engine)
         while len(_ENGINES) > _ENGINE_CACHE_MAX:

@@ -37,9 +37,14 @@ class DiagnosisApp:
     def __init__(self, bundle=None, engine_mode: str = "parity",
                  generate_reports: bool = True, gen_overrides: dict | None = None,
                  greedy: bool = False, batch_window_ms: float = 5.0,
-                 max_batch: int = 32, queue_depth: int = 0):
+                 max_batch: int = 32, queue_depth: int = 0, mesh=None):
         self._bundle = bundle
         self.engine_mode = engine_mode
+        # multi-chip serving: a jax.sharding.Mesh (or MMDX_SERVE_MESH=<tp>,
+        # which builds a ("data","model") mesh over all devices with that
+        # tensor-parallel degree) dp-shards every classify/generate batch;
+        # the reference serves strictly single-device
+        self.mesh = mesh
         self.generate_reports = generate_reports
         self.gen_overrides = gen_overrides
         self.greedy = greedy
@@ -155,7 +160,15 @@ class DiagnosisApp:
 
         if self._bundle is None:
             self._bundle = get_model_bundle()
-        return get_engine(self._bundle, mode=self.engine_mode)
+        if self.mesh is None:
+            spec = os.getenv("MMDX_SERVE_MESH", "")
+            if spec and spec != "0":
+                from mmdx_tpu.parallel.mesh import make_mesh
+
+                self.mesh = make_mesh(n_model=int(spec))
+                print(f"[mmdx] serving on a "
+                      f"{dict(self.mesh.shape)} device mesh", flush=True)
+        return get_engine(self._bundle, mode=self.engine_mode, mesh=self.mesh)
 
     def _get_batcher(self):
         """Concurrent requests fuse into one device batch (double-checked

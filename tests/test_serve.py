@@ -288,3 +288,34 @@ def test_boot_warmup_precompiles_bucket_ladder(rng):
         batcher.engine.classify_batch = real_classify
         batcher.engine.generate_reports = real_generate
         batcher.stop()
+
+
+def test_multichip_serving_predict(sample_image_paths):
+    """The serving app runs the whole predict path (batcher -> classify ->
+    generate) on a device MESH: weights tp/replicate-shard per the parallel
+    rules, every batch dp-shards over "data" (multi-chip serving is new
+    capability — the reference is strictly single-device, SURVEY §2.4).
+    Runs on the 8-virtual-device CPU mesh the driver's dryrun validates."""
+    from mmdx_tpu.parallel.mesh import make_mesh
+
+    bundle = new_random_bundle(seed=0, small=True)
+    mesh_app = make_app(
+        bundle=bundle, generate_reports=True, mesh=make_mesh(n_model=2),
+        gen_overrides=dict(max_new_tokens=6, min_new_tokens=1, num_beams=2),
+    )
+    try:
+        assert mesh_app._get_batcher().engine.mesh is not None
+        img = sample_image_paths[0].read_bytes()
+        body, ctype = multipart_body(
+            {"patient_details": "44 year old female, chest pain"},
+            {"image": ("e1.jpg", img, "image/jpeg")})
+        status, _, raw = call(mesh_app, "POST", "/api/predict/", body, ctype)
+        assert status.startswith("200"), raw
+        payload = json.loads(raw)
+        assert len(payload["diseases"]) == 13
+        assert isinstance(payload["report_text"], str)
+        # dp x tp really is the engine's layout
+        assert dict(mesh_app._get_batcher().engine.mesh.shape) == {
+            "data": 4, "model": 2}
+    finally:
+        mesh_app._batcher.stop()
