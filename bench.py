@@ -127,12 +127,24 @@ def main():
         @functools.partial(jax.jit, static_argnames=("iters",))
         def bench_loop_turbo(variables, qparams, images, ids, mask, iters: int):
             from mmdx_tpu.models.resnet_int8 import int8_backbone_apply
+            from mmdx_tpu.ops.preprocess import preprocess_batch_device_gray
+
+            # grayscale inputs ride the folded gray stem (no 1->3 broadcast,
+            # no separate normalize pass) — same as the serving engine
+            gray = images.shape[-1] == 1 and "stem_gray" in qparams
 
             def body(_, carry):
                 acc, salt = carry
                 img_i = images + (salt % 2).astype(jnp.uint8)
                 ids_i = ids.at[:, 0].set(salt % cfg.text.vocab_size)
-                feats = int8_backbone_apply(qparams, preproc(img_i))
+                if gray:
+                    x = preprocess_batch_device_gray(
+                        img_i, cfg.image.img_size, cfg.image.resize_size,
+                        out_dtype=jnp.bfloat16,
+                    )
+                else:
+                    x = preproc(img_i)
+                feats = int8_backbone_apply(qparams, x)
                 out = turbo_model.apply(
                     variables, feats, ids_i, mask, None,
                     method=MultiModalDiagnosisModel.classify_from_image_feats,
@@ -183,7 +195,10 @@ def main():
             x_calib = jax.jit(lambda i: preproc(i, jnp.float32))(images[:32])
             scales = calibrate_backbone(variables, x_calib)
             qparams = jax.jit(
-                lambda v: quantize_backbone(v, scales, cfg.image.bn_eps)
+                lambda v: quantize_backbone(
+                    v, scales, cfg.image.bn_eps, mean=cfg.image.mean,
+                    std=cfg.image.std, img_size=cfg.image.img_size,
+                )
             )(variables)
             text_int8 = os.environ.get("MMDX_BENCH_TEXT_INT8", "1") != "0"
             try:

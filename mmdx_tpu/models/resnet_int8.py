@@ -187,8 +187,48 @@ def calibrate_backbone(variables, images,
     return {k: float(v) for k, v in sites.items()}
 
 
+GRAY_CENTER = 0.5        # preprocess_batch_device_gray emits u - GRAY_CENTER
+GRAY_SCALE = 0.5 / 127.0  # static activation scale: |u - 0.5| <= 0.5 exactly
+
+
+def _gray_stem(w_f32, b, mean, std, img_size: int):
+    """Fold the 1->3 channel broadcast + per-channel ImageNet normalize into
+    the (BN-folded, f32) stem conv, for grayscale inputs.
+
+    For a gray image, channel c of the normalized input is the affine
+    (u - m_c)/s_c of the same u, and the conv pads with zeros AFTER the
+    normalize.  Splitting u = v + 0.5 (v = the centered gray the device
+    preproc emits, zero-padded like x was):
+
+        y_o(p) = sum_{t in valid(p)} [sum_c W[t,c,o]/s_c] v(t)
+                 + sum_{t in valid(p)} sum_c W[t,c,o] (0.5 - m_c)/s_c + b_o
+               = conv(v, Wg)(p) + K_o(p)
+
+    The second sum runs over only the taps inside the image, so K is a
+    positional map near the borders and a constant in the interior —
+    computed exactly as conv(ones, Wz) + b.  f32-exact (sums reordered
+    only); tests/test_resnet_int8.py asserts it against the 3-channel
+    normalized conv.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    wg = jnp.sum(w_f32 / std[None, None, :, None], axis=2, keepdims=True)
+    wz = jnp.sum(
+        w_f32 * ((GRAY_CENTER - mean) / std)[None, None, :, None],
+        axis=2, keepdims=True,
+    )
+    ones = jnp.ones((1, img_size, img_size, 1), jnp.float32)
+    dn = lax.conv_dimension_numbers(ones.shape, wz.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    k_map = lax.conv_general_dilated(
+        ones, wz, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn
+    ) + b  # [1, img/2, img/2, co]
+    return wg, k_map
+
+
 def quantize_backbone(variables, act_scales: dict[str, float],
-                      eps: float = 1e-5):
+                      eps: float = 1e-5, mean=None, std=None,
+                      img_size: int = 224):
     """Build the int8 qparams pytree from model variables + calibrated amax.
 
     Per conv: {"w": int8 [kh,kw,ci,co], "ws": f32 [co] weight scales,
@@ -214,6 +254,13 @@ def quantize_backbone(variables, act_scales: dict[str, float],
 
     folded = folded_backbone(bp, bs, eps)
     q = {"stem": qconv(*folded["stem"], s2d=True)}
+    if mean is None or std is None:
+        from mmdx_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = IMAGENET_MEAN if mean is None else mean
+        std = IMAGENET_STD if std is None else std
+    wg, k_map = _gray_stem(*folded["stem"], mean, std, img_size)
+    q["stem_gray"] = qconv(wg, k_map, s2d=True)
     for name, stage, block in _block_names():
         tree = folded[name]
         q[name] = {
@@ -313,10 +360,18 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
     so only int8 tensors are materialized between convs.
     """
     sc = q["scales"]
-    s_in = sc["input"]
+    gray = x.shape[-1] == 1 and "stem_gray" in q
+    if gray:
+        # grayscale fast path: x is the CENTERED RAW gray from
+        # preprocess_batch_device_gray (v = u - 0.5, |v| <= 0.5 exactly ->
+        # static scale, no calibration); normalize + channel broadcast live
+        # in the pre-summed weights + K map (see _gray_stem). 3x fewer
+        # stem-input bytes and no [B,224,224,3] f32 broadcast tensor.
+        stem, s_in = q["stem_gray"], jnp.float32(GRAY_SCALE)
+    else:
+        stem, s_in = q["stem"], sc["input"]
     xi = _requant(x.astype(jnp.float32), s_in)
 
-    stem = q["stem"]
     if (
         "w_s2d" in stem and xi.shape[1] % 2 == 0 and xi.shape[2] % 2 == 0
         and os.environ.get("MMDX_INT8_S2D_STEM", "1") != "0"
@@ -335,6 +390,8 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
         ).astype(jnp.float32)
     else:
         y = _qconv(xi, stem, 2, [(3, 3), (3, 3)]).astype(jnp.float32)
+    # gray path: stem["b"] is the positional K map [1, H/2, W/2, co]
+    # (interior-constant; borders carry the valid-tap correction)
     y = jax.nn.relu(y * (s_in * stem["ws"]) + stem["b"])
     xi = _requant(y, sc["stem"])
     xi = _maxpool_nonneg(xi)  # int8 max; values >= 0 post-relu-requant

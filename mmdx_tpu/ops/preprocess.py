@@ -96,6 +96,52 @@ def _preprocess_device(
     return (x * scale - shift).astype(out_dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("img_size", "resize_size", "out_dtype")
+)
+def _preprocess_device_gray(
+    batch_u8: jax.Array,
+    kh: jax.Array,
+    kw: jax.Array,
+    img_size: int,
+    resize_size: int,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """[B,H,W,1] uint8 -> [B,img_size,img_size,1] centered raw gray.
+
+    Emits v = u - 0.5 with u = resized/cropped gray in [0,1] — NO channel
+    broadcast and NO per-channel ImageNet normalize.  The int8 turbo stem
+    consumes this directly (``resnet_int8.int8_backbone_apply``): the
+    normalize + 1->3 broadcast fold into pre-summed stem weights plus a
+    positional bias map, so the 3x-wider f32 tensor the broadcast used to
+    materialize (round-3 trace: 308 MB / 0.9 ms at B=512) never exists.
+    The 0.5 centering halves |v|'s range -> a finer int8 grid than
+    quantizing the normalized tensor (amax 0.5 vs 2.64*std).
+    """
+    x = batch_u8.astype(jnp.float32)  # [B,H,W,1]
+    x = jnp.einsum("bhwc,oh->bowc", x, kh, preferred_element_type=jnp.float32)
+    x = jnp.einsum("bhwc,ow->bhoc", x, kw, preferred_element_type=jnp.float32)
+    return (x * jnp.float32(1.0 / 255.0) - jnp.float32(0.5)).astype(out_dtype)
+
+
+def preprocess_batch_device_gray(
+    batch_u8, img_size: int = 224, resize_size: int = 256,
+    out_dtype=jnp.float32,
+):
+    """Centered-gray on-device preprocessing for 1-channel uint8 batches.
+
+    Pairs with the int8 tower's grayscale stem (which folds the ImageNet
+    normalization); NOT interchangeable with ``preprocess_batch_device``.
+    """
+    b, h, w, c = batch_u8.shape
+    assert c == 1, f"gray preproc needs 1-channel input, got {c}"
+    kh, kw = R.fused_resize_crop_matrices(h, w, resize_size, img_size)
+    return _preprocess_device_gray(
+        batch_u8, jnp.asarray(kh), jnp.asarray(kw),
+        img_size=img_size, resize_size=resize_size, out_dtype=out_dtype,
+    )
+
+
 def preprocess_batch_device(
     batch_u8,
     img_size: int = 224,

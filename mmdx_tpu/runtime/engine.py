@@ -278,7 +278,23 @@ class InferenceEngine:
                 # parity mode forces true-fp32 matmuls (TPU otherwise uses
                 # bf16-multipass for f32 dots)
                 with jax.default_matmul_precision(precision):
-                    if on_device_preproc:
+                    gray_turbo = (
+                        use_int8 and on_device_preproc
+                        and image_shape[-1] == 1
+                    )
+                    if gray_turbo:
+                        # 1-channel turbo: centered raw gray + the folded
+                        # grayscale stem (resnet_int8._gray_stem) — skips the
+                        # 1->3 broadcast/normalize the 3-channel path pays
+                        from mmdx_tpu.ops.preprocess import (
+                            preprocess_batch_device_gray,
+                        )
+
+                        x = preprocess_batch_device_gray(
+                            images, cfg.img_size, cfg.resize_size,
+                            out_dtype=model.dtype,
+                        )
+                    elif on_device_preproc:
                         x = preprocess_batch_device(
                             images, cfg.img_size, cfg.resize_size, cfg.mean, cfg.std,
                             out_dtype=model.dtype,
@@ -336,7 +352,10 @@ class InferenceEngine:
                     ))(imgs)
                 scales = ri.calibrate_backbone(self.variables, imgs)
             self._qparams = jax.jit(
-                lambda v: ri.quantize_backbone(v, scales, cfg.bn_eps)
+                lambda v: ri.quantize_backbone(
+                    v, scales, cfg.bn_eps,
+                    mean=cfg.mean, std=cfg.std, img_size=cfg.img_size,
+                )
             )(self.variables)
         return self._qparams
 

@@ -96,11 +96,17 @@ def main():
         from mmdx_tpu.models.resnet_int8 import (
             calibrate_backbone, int8_backbone_apply, quantize_backbone,
         )
+        from mmdx_tpu.ops.preprocess import preprocess_batch_device_gray
+
         x_calib = jax.jit(lambda i: preproc(i, jnp.float32))(images[:32])
         scales = calibrate_backbone(variables, x_calib)
         qparams = jax.jit(
-            lambda v: quantize_backbone(v, scales, cfg.image.bn_eps)
+            lambda v: quantize_backbone(
+                v, scales, cfg.image.bn_eps, mean=cfg.image.mean,
+                std=cfg.image.std, img_size=cfg.image.img_size,
+            )
         )(variables)
+        gray = images.shape[-1] == 1 and "stem_gray" in qparams
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def loop(variables, qparams, images, ids, mask, iters: int):
@@ -108,7 +114,14 @@ def main():
                 acc, salt = carry
                 img_i = images + (salt % 2).astype(jnp.uint8)
                 ids_i = ids.at[:, 0].set(salt % cfg.text.vocab_size)
-                feats = int8_backbone_apply(qparams, preproc(img_i))
+                if gray:
+                    xin = preprocess_batch_device_gray(
+                        img_i, cfg.image.img_size, cfg.image.resize_size,
+                        out_dtype=jnp.bfloat16,
+                    )
+                else:
+                    xin = preproc(img_i)
+                feats = int8_backbone_apply(qparams, xin)
                 out = model.apply(
                     variables, feats, ids_i, mask, None,
                     method=MultiModalDiagnosisModel.classify_from_image_feats)
@@ -132,7 +145,13 @@ def main():
         loop(*loop_args, iters=iters).block_until_ready()
     log(f"[trace] captured {iters} iters; per-op totals BELOW are the sum "
         f"over all {iters} (divide by {iters} for ms/batch)")
-    parse_trace(tdir, top=top)
+    try:
+        from scripts.xplane import print_top
+
+        print_top(tdir, top=top)
+    except Exception as e:  # tensorflow proto unavailable -> JSON fallback
+        log(f"[trace] xplane parse failed ({e}); falling back to JSON export")
+        parse_trace(tdir, top=top)
 
 
 if __name__ == "__main__":

@@ -170,6 +170,107 @@ def test_percentile_calibration(bundle, images):
     assert float(err_pct) < float(err_amax), (err_pct, err_amax)
 
 
+def test_gray_stem_fold_f32_exact():
+    """The grayscale stem fold (pre-summed weights + positional K map) must
+    equal the 3-channel normalize+broadcast stem conv in f32 EXACTLY up to
+    sum reordering — including the zero-padded borders, where K carries the
+    valid-tap correction."""
+    import jax.lax as lax
+
+    from mmdx_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from mmdx_tpu.models.resnet_int8 import GRAY_CENTER, _gray_stem
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    u = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    x3 = (jnp.broadcast_to(u, u.shape[:-1] + (3,)) - mean) / std
+    dn = lax.conv_dimension_numbers(x3.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(
+        x3, w, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn
+    ) + b
+
+    wg, k_map = _gray_stem(w, b, IMAGENET_MEAN, IMAGENET_STD, img_size=64)
+    v = u - GRAY_CENTER
+    dng = lax.conv_dimension_numbers(v.shape, wg.shape, ("NHWC", "HWIO", "NHWC"))
+    got = lax.conv_general_dilated(
+        v, wg, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dng
+    ) + k_map
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+    # K is constant in the interior, positional at the borders
+    km = np.asarray(k_map)[0]
+    assert np.allclose(km[4:-4, 4:-4], km[16, 16], atol=1e-5)
+    assert not np.allclose(km[0, 0], km[16, 16], atol=1e-3)
+
+
+def test_gray_path_close_to_f32(bundle, images):
+    """End-to-end int8 tower over the 1-channel centered-gray input lands
+    within the same guardrail as the 3-channel path."""
+    v = bundle.variables
+    from mmdx_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from mmdx_tpu.models.resnet_int8 import GRAY_CENTER
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    u = jnp.clip(images[..., :1] * 0.2 + 0.5, 0.0, 1.0)  # gray in [0,1]
+    x3 = (jnp.broadcast_to(u, u.shape[:-1] + (3,)) - mean) / std
+
+    scales = calibrate_backbone(v, x3)
+    q = quantize_backbone(v, scales, img_size=u.shape[1])
+    assert "stem_gray" in q and q["stem_gray"]["w"].shape[2] == 1
+
+    ref, _ = folded_forward(
+        folded_backbone(
+            v["params"]["image_encoder"]["backbone"],
+            v["batch_stats"]["image_encoder"]["backbone"],
+        ),
+        x3,
+    )
+    got = int8_backbone_apply(q, u - GRAY_CENTER)
+    rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.10, rel
+    # and the 3-channel int8 path agrees with the gray int8 path closely
+    # (both approximate the same f32 math; they differ only in which grid
+    # quantizes the input)
+    got3 = int8_backbone_apply(q, x3)
+    rel_g3 = float(jnp.max(jnp.abs(got - got3))) / float(
+        jnp.max(jnp.abs(ref)))
+    assert rel_g3 < 0.10, rel_g3
+
+
+def test_gray_preproc_matches_exact_preproc():
+    """preprocess_batch_device_gray + (v+0.5 -> normalize/broadcast) equals
+    preprocess_exact on grayscale uint8 images, to the same ~1-uint8-ULP
+    bound as the 3-channel device path (the device fast path skips PIL's
+    intermediate u8 rounding; serving regains bit-exactness because wire
+    images arrive pre-resized and the device resize is then an identity —
+    see test_preprocess.py)."""
+    from mmdx_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from mmdx_tpu.models.resnet_int8 import GRAY_CENTER
+    from mmdx_tpu.ops.preprocess import (
+        preprocess_batch_device_gray, preprocess_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, (2, 96, 80, 1), dtype=np.uint8)
+    v = np.asarray(preprocess_batch_device_gray(
+        jnp.asarray(imgs), img_size=48, resize_size=56,
+        out_dtype=jnp.float32,
+    ))
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    got = (np.repeat(v + GRAY_CENTER, 3, axis=-1) - mean) / std
+    ref = np.stack([
+        preprocess_exact(im, img_size=48, resize_size=56) for im in imgs
+    ])
+    assert np.max(np.abs(got - ref)) < 2.5 / 255.0 / 0.225
+    assert np.mean(np.abs(got - ref)) < 0.5 / 255.0 / 0.225
+
+
 def test_quantize_requires_all_sites(bundle, images):
     scales = calibrate_backbone(bundle.variables, images)
     scales.pop("stem")
