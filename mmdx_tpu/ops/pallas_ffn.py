@@ -41,6 +41,13 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_tanh(x):
+    """torch/HF "gelu_new" tanh approximation — one tanh instead of the
+    erf chain's divide + exp (see the int8 kernel's A/B note)."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+
 def _quant_rows(xf):
     """Per-row symmetric int8 quantization of an f32 tile already in VMEM.
 
@@ -82,7 +89,14 @@ def _ffn_kernel_int8(x_ref, wi_ref, wis_ref, bi_ref, wo_ref, wos_ref, bo_ref,
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
     mid = mid * (sx * wis_ref[...]) + bi_ref[...].astype(jnp.float32)
-    mid = _gelu_exact(mid)
+    # tanh-gelu, NOT the exact-erf gelu the bf16 kernel uses: the A-S erf's
+    # divide+exp chain is the kernel's VPU serializer — on-chip A/B at
+    # [16384,768]x3072 (scripts/bench_ffn_variants.py): erf 0.745 ms/layer,
+    # tanh 0.426 = the no-gelu floor = 92% of the int8-MXU ideal. The tanh
+    # approximation's deviation from exact gelu (<= ~3e-3 abs) is an order
+    # below this kernel's own per-element int8 quantization noise, so the
+    # W8A8 guardrail (tests/test_int8_text.py, rel < 0.02) is unaffected.
+    mid = _gelu_tanh(mid)
     mi, sm = _quant_rows(mid)
     y = jax.lax.dot_general(
         mi, wo_ref[...], (((1,), (0,)), ((), ())),
