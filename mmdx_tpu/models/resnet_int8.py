@@ -397,10 +397,43 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
     xi = _maxpool_nonneg(xi)  # int8 max; values >= 0 post-relu-requant
     sx = sc["stem"]
 
+    # Fused stride-1 bottlenecks (ops/pallas_int8_bottleneck): one HBM
+    # read + one write per block instead of ~4 activation round-trips on
+    # the XLA path — the early stages are HBM-roofline-bound. Gated by
+    # stage: width-padding maps 56->64 and 28->32 with 1.14x row waste
+    # (stages 3-4 would pad 14/7 -> 32, 2.3-4.6x — left on XLA).
+    fuse_stages = {
+        int(s) for s in os.environ.get(
+            "MMDX_INT8_FUSED_BLOCKS", "").split(",") if s.strip()
+    }
+    xp = None  # width-padded running activation inside a fused run
+
     for name, stage, block in _block_names():
         d = q[name]
         stride = 2 if (stage > 0 and block == 0) else 1
         s1, s2, so = sc[f"{name}.a1"], sc[f"{name}.a2"], sc[f"{name}.out"]
+
+        if block > 0 and (stage + 1) in fuse_stages:
+            from mmdx_tpu.ops.pallas_int8_bottleneck import (
+                fold_block_epilogues, fused_bottleneck_int8, pad_wp,
+                unpad_wp,
+            )
+
+            b_, h_, w_, _ = xi.shape
+            wp = -(-w_ // 32) * 32  # round W up to the int8 sublane tile
+            g = 1 if h_ * wp >= 2048 else (2 if b_ % 2 == 0 else 1)
+            if xp is None:
+                xp = pad_wp(xi, wp)
+            xp = fused_bottleneck_int8(
+                xp, **fold_block_epilogues(d, sx, s1, s2, so),
+                height=h_, width=w_, wp=wp, g=g,
+                interpret=jax.default_backend() != "tpu",
+            )
+            xi = unpad_wp(xp, h_, w_, wp)  # XLA slices lazily; only
+            # materialized if a non-fused consumer actually reads it
+            sx = so
+            continue
+        xp = None
 
         a = _qconv(xi, d["conv1"], 1, "SAME").astype(jnp.float32)
         a = jax.nn.relu(a * (sx * d["conv1"]["ws"]) + d["conv1"]["b"])

@@ -160,6 +160,24 @@ def main():
           f"{'WINS' if t_i8 < t_nostem else 'LOSES'} "
           f"{(t_nostem - t_i8) * 1e3:+.2f} ms)", file=sys.stderr, flush=True)
 
+    # A/B: Pallas fused stride-1 bottlenecks (one HBM read+write per block)
+    # per stage set — flag default-off until a set wins here on-chip
+    for stages in ("1", "2", "1,2"):
+        os.environ["MMDX_INT8_FUSED_BLOCKS"] = stages
+        try:
+            t_fb = timed(make_loop_int8(), q, x)
+            print(f"[i8tower] int8 turbo tower (fused blocks s{stages}): "
+                  f"{t_fb * 1e3:.2f} ms/batch "
+                  f"({'WIN' if t_fb < t_i8 else 'lose'} "
+                  f"{(t_i8 - t_fb) * 1e3:+.2f} ms)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[i8tower] fused blocks s{stages}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr, flush=True)
+        finally:
+            os.environ.pop("MMDX_INT8_FUSED_BLOCKS", None)
+
     if do_trace:
         log_dir = "/tmp/mmdx_i8_trace"
         jax.profiler.start_trace(log_dir)
