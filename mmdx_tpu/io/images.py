@@ -40,7 +40,29 @@ def decode_image(src: Union[bytes, bytearray, "Image.Image", np.ndarray]) -> np.
         return ((arr - lo) * scale + 0.5).astype(np.uint8)
     if img.mode != "RGB":
         img = img.convert("RGB")
-    return np.asarray(img, dtype=np.uint8)
+    return _squeeze_gray(np.asarray(img, dtype=np.uint8))
+
+
+def _squeeze_gray(arr: np.ndarray) -> np.ndarray:
+    """Collapse RGB arrays whose channels are IDENTICAL to 2-D grayscale.
+
+    Radiographs are routinely exported as RGB JPEG/PNG with R==G==B; the
+    preprocessing contract treats [H, W] as 'repeat to 3 channels'
+    (reference ``training_pipeline.py:116``), so the squeeze is exact — and
+    it ships 3x fewer bytes over the serving host->device tunnel AND rides
+    the turbo tower's folded grayscale stem (models/resnet_int8._gray_stem).
+    A strided probe rejects real color images without a full-array scan.
+    """
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        return arr
+    c0, c1, c2 = arr[..., 0], arr[..., 1], arr[..., 2]
+    probe = (slice(None, None, 16), slice(None, None, 16))
+    if not (np.array_equal(c0[probe], c1[probe])
+            and np.array_equal(c0[probe], c2[probe])):
+        return arr
+    if np.array_equal(c0, c1) and np.array_equal(c0, c2):
+        return np.ascontiguousarray(c0)
+    return arr
 
 
 def decode_images(sources, workers: int | None = None) -> list[np.ndarray]:

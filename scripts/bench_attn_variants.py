@@ -48,6 +48,40 @@ def make_kernel(softmax: str, *, seq_len, num_heads, head_dim, eps=1e-12):
         mask = mask + kmask_ref[...].astype(jnp.float32)
 
         scale = 1.0 / float(head_dim) ** 0.5
+        if softmax == "batched":
+            # one rank-3 batched dot per phase instead of 12 small 2D dots:
+            # costs two [R, H] <-> [heads, R, d] relayouts per block
+            q3 = qkv[:, :hidden].reshape(r, num_heads, head_dim
+                                         ).transpose(1, 0, 2)
+            k3 = qkv[:, hidden:2 * hidden].reshape(r, num_heads, head_dim
+                                                   ).transpose(1, 0, 2)
+            v3 = qkv[:, 2 * hidden:].reshape(r, num_heads, head_dim
+                                             ).transpose(1, 0, 2)
+            s = jax.lax.dot_general(
+                q3, k3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale + mask[None]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            c3 = jax.lax.dot_general(
+                p, v3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [heads, R, d]
+            ctx = c3.transpose(1, 0, 2).reshape(r, hidden)
+            ci, sc = _quant_rows(ctx)
+            out = jax.lax.dot_general(
+                ci, wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            y = xf + out * (sc * wos_ref[...]) + bo_ref[...].astype(jnp.float32)
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            y = (y - mu) * jax.lax.rsqrt(var + eps)
+            y = (y * lns_ref[...].astype(jnp.float32)
+                 + lnb_ref[...].astype(jnp.float32))
+            out_ref[...] = y.astype(out_ref.dtype)
+            return
         ctx_heads = []
         for h in range(num_heads):
             q = qkv[:, h * head_dim:(h + 1) * head_dim]
@@ -162,6 +196,7 @@ def main():
     log(f"[attnv] device={jax.devices()[0].device_kind} B={batch} L={seq}")
 
     variants = [
+        ("r128-batched", 128, "batched"),
         ("r128-div", 128, "div"),
         ("r128-recip", 128, "recip"),
         ("r128-exp2", 128, "exp2"),

@@ -76,6 +76,35 @@ def test_decode_16bit_grayscale_png():
     assert np.mean(arr == 255) < 0.05
 
 
+def test_decode_squeezes_rgb_encoded_grayscale():
+    """RGB files whose channels are identical (the common CXR export form)
+    decode to 2-D grayscale — exact under the repeat-to-3 preprocessing
+    contract, 3x fewer serving tunnel bytes, and the turbo gray-stem path.
+    Real color images must NOT be squeezed."""
+    from PIL import Image
+
+    from mmdx_tpu.io.images import decode_image
+    from mmdx_tpu.ops.preprocess import preprocess_exact
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (96, 80), dtype=np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, mode="RGB").save(buf, format="PNG")  # lossless
+    arr = decode_image(buf.getvalue())
+    assert arr.ndim == 2 and np.array_equal(arr, gray)
+    # preprocessing is bit-identical either way
+    np.testing.assert_array_equal(
+        preprocess_exact(arr, img_size=48, resize_size=56),
+        preprocess_exact(rgb, img_size=48, resize_size=56))
+
+    color = rgb.copy()
+    color[10, 10, 2] ^= 1  # one differing pixel -> genuinely color
+    buf2 = io.BytesIO()
+    Image.fromarray(color, mode="RGB").save(buf2, format="PNG")
+    assert decode_image(buf2.getvalue()).ndim == 3
+
+
 def test_dataloader_early_break_stops_worker(tmp_path, monkeypatch):
     """Breaking out of iteration mid-epoch must stop the prefetch worker
     (it used to block forever on q.put, leaking a thread per epoch)."""
