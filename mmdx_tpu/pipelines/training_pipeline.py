@@ -231,6 +231,12 @@ class TrainingOptions:
     # local serving bundle (reference :773-797); None -> default_bundle_path()
     local_bundle_path: str | None = None
     save_local_bundle: bool = True
+    # persist int8 "turbo" activation scales into the published bundle,
+    # calibrated on training images (one folded-f32 pass over <=32 images):
+    # serving then quantizes deterministically instead of calibrating from
+    # its first live batch
+    calibrate_int8: bool = True
+    calibrate_images: int = 32
 
 
 def _fetch_training_batch(df, engine, n: int, seed: int):
@@ -436,6 +442,20 @@ def run_training_pipeline(
         log("[mmdx] WARNING: dataset too small for a held-out split; "
             "val_* metrics omitted")
     log(f"[mmdx] metrics: {metrics}")
+
+    if opt.calibrate_int8 and len(df):
+        # turbo-ready publish: calibrate the int8 tower's activation scales
+        # on real training images so every serving boot of this bundle
+        # quantizes deterministically (engine._ensure_qparams short-circuit)
+        from mmdx_tpu.models.resnet_int8 import calibrate_backbone
+
+        cal_urls = df["image_url"].tolist()[: opt.calibrate_images]
+        cal_imgs = eval_engine.prep_images(
+            [open_url_bytes(u) for u in cal_urls])  # parity-exact f32
+        scales = calibrate_backbone(trained.variables, jnp.asarray(cal_imgs))
+        trained.metadata = {**(trained.metadata or {}), "int8_scales": scales}
+        log(f"[mmdx] int8 scales calibrated on {len(cal_urls)} training "
+            "images (persisted in bundle metadata)")
 
     version = registry.create_model(
         opt.publish_model_name, trained,

@@ -114,6 +114,15 @@ def test_training_pipeline_end_to_end(prepared_world, tmp_path):
     assert "val_auroc_micro" in result["metrics"]
     assert len(result["reports"]) == 6
 
+    # the published bundle is turbo-ready: int8 activation scales were
+    # calibrated on training images and persisted (serving skips its
+    # first-batch calibration fallback)
+    from mmdx_tpu.models.resnet_int8 import calibration_sites
+
+    scales = (result["bundle"].metadata or {}).get("int8_scales")
+    assert scales and not (set(calibration_sites()) - set(scales))
+    assert all(v > 0 for v in scales.values())
+
     # the published model serves end-to-end
     from mmdx_tpu.pipelines.inference_pipeline import get_engine, load_model_from_registry
 
