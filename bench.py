@@ -234,10 +234,10 @@ def main():
     if os.environ.get("MMDX_BENCH_GEN", "1") != "0":
         rng_g = np.random.default_rng(1)
         gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "64"))
-        # greedy keeps scaling past the beam-optimal batch (measured:
-        # 569/890/991 reports/s at B=64/128/256 fixed-length) — report the
-        # high-batch greedy tier too
-        gb_max = int(os.environ.get("MMDX_BENCH_GEN_BATCH_MAX", "256"))
+        # greedy keeps scaling past the beam-optimal batch (measured
+        # fixed-180: 569/890 at B=64/128, 806 at B=256, 879 at B=512 —
+        # still +9% at 512) — report the high-batch greedy tier too
+        gb_max = int(os.environ.get("MMDX_BENCH_GEN_BATCH_MAX", "512"))
 
         def make_z(n):
             return (
