@@ -19,6 +19,10 @@ def decode_image(src: Union[bytes, bytearray, "Image.Image", np.ndarray]) -> np.
     """Decode to uint8 [H, W] (grayscale) or [H, W, 3] (color)."""
     if isinstance(src, np.ndarray):
         assert src.dtype == np.uint8
+        # same gray fast path bytes/PIL inputs take: RGB-identical arrays
+        # collapse to 2-D so downstream picks the 1-channel pipeline
+        if src.ndim == 3 and src.shape[-1] == 3:
+            return _squeeze_gray(src)
         return src
     if isinstance(src, (bytes, bytearray)):
         img = Image.open(io.BytesIO(src))

@@ -355,12 +355,27 @@ def _space_to_depth2(x):
 def int8_backbone_apply(q, x) -> jnp.ndarray:
     """Preprocessed NHWC images (f32/bf16) -> pooled [B, 2048] f32 features.
 
+    3-channel inputs are ImageNet-normalized images (the usual preprocess
+    contract). 1-channel inputs MUST be the centered raw gray emitted by
+    ``preprocess_batch_device_gray`` (v = u - 0.5, |v| <= 0.5): the gray
+    branch quantizes at the static GRAY_SCALE and folds the normalize into
+    the pre-summed gray stem — feeding it a normalized 1-channel tensor
+    would silently misquantize (ADVICE r3).
+
     Every conv runs int8 x int8 -> int32 on the MXU; the epilogue
     (dequant * (sx*ws), +b, relu, requant) is a fused f32 elementwise chain,
     so only int8 tensors are materialized between convs.
     """
     sc = q["scales"]
     gray = x.shape[-1] == 1 and "stem_gray" in q
+    if gray:
+        km = q["stem_gray"]["b"]  # positional K map [1, img/2, img/2, co]
+        if km.shape[1] != x.shape[1] // 2 or km.shape[2] != x.shape[2] // 2:
+            raise ValueError(
+                "gray stem K map was folded for img_size "
+                f"{km.shape[1] * 2}, got a {x.shape[1]}x{x.shape[2]} gray "
+                "batch — pass img_size= to quantize_backbone"
+            )
     if gray:
         # grayscale fast path: x is the CENTERED RAW gray from
         # preprocess_batch_device_gray (v = u - 0.5, |v| <= 0.5 exactly ->
@@ -420,7 +435,10 @@ def int8_backbone_apply(q, x) -> jnp.ndarray:
             )
 
             b_, h_, w_, _ = xi.shape
-            wp = -(-w_ // 32) * 32  # round W up to the int8 sublane tile
+            # round W up to the int8 sublane tile, STRICTLY above w_: the
+            # kernel needs >=1 zero junk column per row as the 3x3 SAME
+            # padding (fused_bottleneck_int8 asserts width < wp)
+            wp = -(-(w_ + 1) // 32) * 32
             g = 1 if h_ * wp >= 2048 else (2 if b_ % 2 == 0 else 1)
             if xp is None:
                 xp = pad_wp(xi, wp)

@@ -143,7 +143,11 @@ def fused_bottleneck_int8(xp, w1, k1, b1, w2flat, k2, b2, w3, k3, b3, kx,
     m = w1.shape[-1]
     rows = height * wp
     assert rows_in == rows, (rows_in, height, wp)
-    assert wp % 32 == 0 and width <= wp, (wp, width)
+    # width < wp STRICTLY: the zero junk columns double as the 3x3 conv's
+    # horizontal SAME padding and isolate the dx=+-1 flat-index shifts
+    # across row/image boundaries; wp == width would silently corrupt the
+    # conv at every row edge (ADVICE r3).
+    assert wp % 32 == 0 and width < wp, (wp, width)
     assert batch % g == 0, (batch, g)
     stride = rows + wp
 
