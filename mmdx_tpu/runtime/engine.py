@@ -588,8 +588,11 @@ class InferenceEngine:
             z_img, z_txt = np.asarray(z_img), np.asarray(z_txt)
         return np.asarray(probs, np.float32)[:n0], z_img[:n0], z_txt[:n0]
 
-    def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
-                         greedy: bool = False) -> list[str]:
+    def generate_report_ids(self, z_img, z_txt,
+                            gen: GenerationConfig | None = None,
+                            greedy: bool = False) -> np.ndarray:
+        """Decode report token ids [B, 1+max_new_tokens] (HF ``generate``
+        sequence layout: leading decoder_start, pad/eos fill past finish)."""
         gen = gen or self.bundle.config.generation
         n = int(z_img.shape[0])
         if self.mesh is not None:
@@ -602,7 +605,11 @@ class InferenceEngine:
             )
         batch = int(z_img.shape[0])
         run = self._generate_fn(gen, greedy)
-        seqs = np.asarray(run(self.variables, z_img, z_txt, batch))[:n]
+        return np.asarray(run(self.variables, z_img, z_txt, batch))[:n]
+
+    def generate_reports(self, z_img, z_txt, gen: GenerationConfig | None = None,
+                         greedy: bool = False) -> list[str]:
+        seqs = self.generate_report_ids(z_img, z_txt, gen, greedy=greedy)
         return self.t5_tok.batch_decode(seqs, skip_special_tokens=True)
 
     def infer(self, image, patient_details: str, gen_kwargs: dict | None = None,

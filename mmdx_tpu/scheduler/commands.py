@@ -36,11 +36,19 @@ def _world():
 
 
 def _run(name, fn):
+    """Styled run wrapper + outcome notification (the reference's Celery
+    tasks wire send_mail into these pipelines; scheduler/notify.py)."""
+    from mmdx_tpu.scheduler.notify import make_event, notifier_from_env
+
     print(f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] Starting {name}...")
     try:
         fn()
     except Exception as e:
         print(f"{name} FAILED: {e}", file=sys.stderr)
+        try:
+            notifier_from_env()(make_event(name, "failed", error=str(e)))
+        except Exception as ne:  # notification failure must not mask the run error
+            print(f"notify failed: {ne}", file=sys.stderr)
         raise  # re-raise so schedulers mark the run failed (reference :19-21)
     print(f"{name} completed successfully.")
 

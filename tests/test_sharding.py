@@ -92,9 +92,12 @@ def test_multichip_inference_engine(rng):
         np.testing.assert_allclose(p1[:n], pn, rtol=1e-5, atol=1e-6)
 
 
-def test_multichip_generation(rng):
-    """Beam + greedy report generation dp-shards over the mesh and matches the
-    single-device decode token-for-token (incl. a batch not divisible by dp)."""
+@pytest.mark.parametrize("n_model", [1, 2])
+def test_multichip_generation(rng, n_model):
+    """Beam + greedy report generation shards over the mesh (dp-only AND
+    dp x tp: the T5 decoder's qkv/o/ffn kernels split over "model") and
+    matches the single-device decode TOKEN-for-token (incl. a batch not
+    divisible by dp)."""
     import dataclasses
 
     from mmdx_tpu.checkpoints.bundle import new_random_bundle
@@ -108,9 +111,18 @@ def test_multichip_generation(rng):
     zt = rng.standard_normal((5, bundle.config.fusion.d_txt)).astype(np.float32)
 
     single = InferenceEngine(bundle, mode="parity")
-    mesh = make_mesh(n_model=1)
+    mesh = make_mesh(n_model=n_model)
     multi = InferenceEngine(bundle, mode="parity", mesh=mesh)
+    if n_model == 2:
+        # the tp split must actually engage (not silently replicate) for
+        # this to certify tensor-parallel decode
+        from jax.sharding import PartitionSpec
+
+        sh = multi.variables["params"]["fusion"]["report_model"]
+        leaf = sh["decoder_layer0"]["self_attn"]["q"]["kernel"]
+        assert leaf.sharding.spec == PartitionSpec(None, "model")
     for greedy in (False, True):
-        r1 = single.generate_reports(zi, zt, gen=gen, greedy=greedy)
-        r8 = multi.generate_reports(zi, zt, gen=gen, greedy=greedy)
-        assert r1 == r8 and len(r8) == 5
+        ids1 = single.generate_report_ids(zi, zt, gen=gen, greedy=greedy)
+        idsm = multi.generate_report_ids(zi, zt, gen=gen, greedy=greedy)
+        np.testing.assert_array_equal(ids1, idsm)
+        assert idsm.shape[0] == 5
