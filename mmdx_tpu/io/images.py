@@ -113,8 +113,18 @@ def wire_image_u8(src, resize_size: int = 256, square: bool = False) -> np.ndarr
     h, w = arr.shape[:2]
     nh, nw = R.shorter_side_target(h, w, resize_size)
     if (nh, nw) != (h, w):
-        pil = Image.fromarray(arr)  # mode L (2-D) or RGB by array shape
-        arr = np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.uint8)
+        # C++ fixed-point core first (bit-identical to PIL, ~4x faster —
+        # this runs per request in the serving handler and the released
+        # cohort's handler work is serial on the host core; see
+        # native/resize_u8.cc), PIL fallback otherwise
+        from mmdx_tpu import native
+
+        out = native.resize_u8(arr, nh, nw)
+        if out is None:
+            pil = Image.fromarray(arr)  # mode L (2-D) or RGB by array shape
+            out = np.asarray(pil.resize((nw, nh), Image.BILINEAR),
+                             dtype=np.uint8)
+        arr = out
     if square and arr.shape[:2] != (resize_size, resize_size):
         top, left = R.center_crop_bounds(
             arr.shape[0], arr.shape[1], resize_size)

@@ -53,5 +53,38 @@ def load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
     lib.ug_encode.restype = ctypes.c_int
+    lib.mmdx_resize_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+    ]
+    lib.mmdx_resize_u8.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def resize_u8(img, out_h: int, out_w: int):
+    """Bit-exact PIL BILINEAR resize via the C++ core; None if unavailable.
+
+    img: uint8 numpy [H, W] or [H, W, C<=4], C-contiguous enforced here.
+    Verified bit-for-bit vs PIL and ops/resize.resize_u8_exact
+    (tests/test_native_resize.py). ~4x faster than PIL on the serving host —
+    this sits on the per-request serving hot path (serve/wsgi._predict_inner
+    -> io/images.wire_image_u8).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "mmdx_resize_u8"):
+        return None
+    import numpy as np
+
+    squeeze = img.ndim == 2
+    src = np.ascontiguousarray(img[:, :, None] if squeeze else img)
+    h, w, c = src.shape
+    out = np.empty((out_h, out_w, c), np.uint8)
+    rc = lib.mmdx_resize_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w,
+    )
+    if rc != 0:
+        return None
+    return out[:, :, 0] if squeeze else out

@@ -96,13 +96,20 @@ def make_sharded_train_step(model: MultiModalDiagnosisModel, tx, mesh: Mesh,
         )
         return new_state, loss
 
-    # NOTE: no donate_argnums — donating the state triggers sporadic aborts on
-    # the virtual-device CPU backend used for tests/dryruns; re-enable per
-    # platform when memory pressure demands it.
+    # Donation is gated on backend: on TPU the state (params + adam moments,
+    # the dominant HBM residents) is donated so XLA updates in place instead
+    # of holding two copies; on the virtual-device CPU backend donation
+    # triggers sporadic aborts (round-1 note), so it stays off there.
+    # MMDX_TRAIN_DONATE=0/1 overrides either way.
+    import os
+
+    env = os.environ.get("MMDX_TRAIN_DONATE")
+    donate = (jax.default_backend() == "tpu") if env is None else env == "1"
     return jax.jit(
         step,
         in_shardings=(state_shardings, batch_sh, replicated(mesh)),
         out_shardings=(state_shardings, replicated(mesh)),
+        donate_argnums=(0,) if donate else (),
     )
 
 

@@ -135,6 +135,8 @@ class MicroBatcher:
         # (much more efficient) decode call. Futures stay bounded by the
         # input queue either way.
         self._handoff: queue.Queue[_Handoff] = queue.Queue(maxsize=8)
+        self._gen_busy = threading.Event()  # a decode is holding the device
+        self._gen_last_end = 0.0  # when the last decode finished
         self._stop = threading.Event()
         self._draining = threading.Event()
         self._classify_thread = threading.Thread(
@@ -182,6 +184,8 @@ class MicroBatcher:
         return self.max_batch
 
     def _collect(self) -> list[_Item]:
+        import time
+
         try:
             first = self._queue.get(timeout=0.1)
         except queue.Empty:
@@ -200,6 +204,44 @@ class MicroBatcher:
                         break
         finally:
             timer.cancel()
+        # Classify-call consolidation + cohort merge (round 4, measured):
+        # (a) while a decode holds the device a classify call can't execute
+        # anyway — keep draining arrivals into THIS batch instead of burning
+        # fixed per-call cost (dispatch RPC + bucket padding) on several
+        # small classify calls that would all queue behind the same decode;
+        # (b) when the decode finishes, hold a short GRACE window so the
+        # clients it just released can re-submit and join this batch.
+        # Without (b), closed-loop clients phase-lock into two alternating
+        # half-size cohorts: each decode carries only the requests released
+        # two decodes ago (measured on-chip: 32 clients -> 15.3-row decodes,
+        # p50 = exactly two decode+classify cycles = 742 ms, 46 rps).
+        # Merging the cohorts roughly doubles rows per decode at ~flat
+        # decode cost. The branch engages while a decode is in flight OR
+        # shortly after one ended (the released cohort is still traversing
+        # the HTTP handlers — on the 1-CPU box a 32-cohort takes ~100 ms to
+        # re-arrive); a cold pipeline never waits. MMDX_CLASSIFY_CONSOLIDATE=0
+        # disables; MMDX_COHORT_GRACE_MS tunes the idle-gap window.
+        if (self.generate
+                and (self._gen_busy.is_set()
+                     or time.perf_counter() - self._gen_last_end < 1.0)
+                and os.environ.get("MMDX_CLASSIFY_CONSOLIDATE", "1") != "0"):
+            grace = float(
+                os.environ.get("MMDX_COHORT_GRACE_MS", "35")) / 1e3
+            cap = time.perf_counter() + 1.5  # decode-length safety bound
+            last = time.perf_counter()
+            was_busy = True
+            while (len(items) < self.max_batch and not self._stop.is_set()
+                   and time.perf_counter() < cap):
+                busy = self._gen_busy.is_set()
+                if was_busy and not busy:
+                    last = time.perf_counter()  # grace starts at decode end
+                was_busy = busy
+                try:
+                    items.append(self._queue.get(timeout=0.005))
+                    last = time.perf_counter()
+                except queue.Empty:
+                    if not busy and time.perf_counter() - last > grace:
+                        break
         return items
 
     def _classify_loop(self):
@@ -371,9 +413,14 @@ class MicroBatcher:
                 import time
 
                 t0 = time.perf_counter()
-                reports = self.engine.generate_reports(
-                    zi, zt, self.gen, greedy=self.greedy
-                )
+                self._gen_busy.set()  # classify consolidates while we decode
+                try:
+                    reports = self.engine.generate_reports(
+                        zi, zt, self.gen, greedy=self.greedy
+                    )
+                finally:
+                    self._gen_last_end = time.perf_counter()
+                    self._gen_busy.clear()
                 dt_gen = time.perf_counter() - t0
                 with self._stats_lock:
                     self._generate_times.append(dt_gen)

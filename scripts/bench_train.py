@@ -9,6 +9,9 @@ depends on state_i, so the axon tunnel cannot replay cached dispatches
 (NOTES.md measurement rules) — and the clock stops on a scalar fetch.
 
 Usage: python scripts/bench_train.py [batch] [--small] [--f32]
+       python scripts/bench_train.py --sweep   # batch x dtype curve
+Donation of the train state is backend-gated in parallel/train.py
+(TPU on, CPU off; MMDX_TRAIN_DONATE overrides).
 """
 import sys
 import time
@@ -17,20 +20,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main():
+def bench_one(batch: int, dtype, small: bool) -> float:
+    """-> best samples/s/chip for one (batch, dtype) config."""
     import jax
     import jax.numpy as jnp
 
-    small = "--small" in sys.argv
-    dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
-        else (8 if small else 32)
-
-    if small:
-        # CPU smoke path (tests/conftest forces cpu; axon owns the default)
-        jax.config.update("jax_platforms", "cpu")
-
-    from flax.training.train_state import TrainState as _  # noqa: F401
     from mmdx_tpu.checkpoints.bundle import new_random_bundle
     from mmdx_tpu.models.diagnosis import MultiModalDiagnosisModel
     from mmdx_tpu.parallel.mesh import make_mesh
@@ -86,7 +80,36 @@ def main():
               f"{batch / dt:.1f} samples/s/chip (loss {loss:.4f})",
               file=sys.stderr, flush=True)
     print(f"[train] best: {best * 1e3:.1f} ms/step, "
-          f"{batch / best:.1f} samples/s/chip at B={batch}", flush=True)
+          f"{batch / best:.1f} samples/s/chip at B={batch} "
+          f"({dtype.__name__})", flush=True)
+    return batch / best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    small = "--small" in sys.argv
+    if small:
+        # CPU smoke path (tests/conftest forces cpu; axon owns the default)
+        jax.config.update("jax_platforms", "cpu")
+
+    if "--sweep" in sys.argv:
+        # batch x dtype curve (VERDICT r3 #7): each config in-process serially
+        results = {}
+        batches = (4, 8) if small else (16, 32, 64, 128)
+        for dtype in (jnp.bfloat16, jnp.float32):
+            for b in batches:
+                results[(dtype.__name__, b)] = bench_one(b, dtype, small)
+        print("[train] sweep (samples/s/chip):", flush=True)
+        for (dt, b), v in results.items():
+            print(f"[train]   {dt:>9} B={b:<4} {v:8.1f}", flush=True)
+        return
+
+    dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else (8 if small else 32)
+    bench_one(batch, dtype, small)
 
 
 if __name__ == "__main__":
