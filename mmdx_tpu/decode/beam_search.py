@@ -363,7 +363,17 @@ def beam_search(
         open_beams = ~(jnp.all(full) & es_true)
         return (s.cur_len < lmax) & jnp.any(s.heuristic_ok) & open_beams
 
-    def body(s: BeamState) -> BeamState:
+    def body(s: BeamState, seg_len: int = 0) -> BeamState:
+        # seg_len (static): upper bound on cur_len while this body runs — the
+        # segmented driver passes the stage's cache cap so the ngram-ban
+        # window scan reads only the first seg_len history columns. Exact:
+        # banned_ngram_mask already drops every window whose follower
+        # position is >= cur_len, and cur_len <= seg_len inside the stage,
+        # so columns beyond seg_len can never contribute. The one-hot
+        # einsum operands it materializes scale with the window count
+        # (round-4 trace: the ban was 115 us/step at full Lmax), so early
+        # stages pay proportionally less. 0 = full history.
+        seg_len = min(seg_len, lmax) if seg_len else lmax
         cur = s.cur_len
         batch_full = s.n_fin >= nb  # evaluated before this step's inserts (HF order)
         frozen = (batch_full & es_true) | ~s.heuristic_ok  # no further output effect
@@ -378,7 +388,9 @@ def beam_search(
         # ngram ban + beam-score add + top-2nb, without materializing any
         # [N, V] f32 intermediate (bitwise-identical to the dense chain)
         banned = (
-            banned_ngram_mask(s.seqs.reshape(n, lmax), cur, v, no_repeat_ngram_size)
+            banned_ngram_mask(
+                jax.lax.slice_in_dim(s.seqs, 0, seg_len, axis=2).reshape(n, seg_len),
+                cur, v, no_repeat_ngram_size)
             if no_repeat_ngram_size else None
         )
         top_scores, top_idx = fused_candidate_topk(
@@ -525,7 +537,13 @@ def beam_search(
                 return cond(st) & (st.cur_len < _limit)
         else:
             cond_cap = cond
-        s = jax.lax.while_loop(cond_cap, body, s)
+        # inside this stage cur_len <= cap (cond_cap), so the ngram ban only
+        # ever needs the first cap history columns — pass it statically
+        # (MMDX_NGRAM_SEG=0 reverts to full-history scans for A/B)
+        import os as _os
+        seg_len = min(cap, lmax) if _os.environ.get(
+            "MMDX_NGRAM_SEG", "1") != "0" else lmax
+        s = jax.lax.while_loop(cond_cap, functools.partial(body, seg_len=seg_len), s)
         if cap < lmax:
             grow = nb * (caps[idx + 1] - cap)
 

@@ -53,11 +53,16 @@ def greedy_decode(
     def cond(s):
         return (s.cur_len < lmax) & ~jnp.all(s.finished)
 
-    def body(s):
+    def body(s, seg_len: int = 0):
         from mmdx_tpu.ops.pallas_lm_head import (
             CHUNK, LazyLogits, lm_head_greedy,
         )
 
+        # seg_len (static): the running segment's cache cap — cur_len never
+        # exceeds it inside the stage, so the ngram window scan only needs
+        # the first seg_len history columns (exact; see beam_search.body).
+        seg_len = min(seg_len, lmax) if seg_len else lmax
+        hist = s.seqs if seg_len == lmax else s.seqs[:, :seg_len]
         cur = s.cur_len
         last = jnp.take_along_axis(s.seqs, (cur - 1)[None, None].repeat(b, 0), axis=1)
         logits, cache = step_fn(last, cur - 1, s.cache)
@@ -71,7 +76,7 @@ def greedy_decode(
                 (b, v),
             )
             if no_repeat_ngram_size:
-                nb = banned_ngram_mask(s.seqs, cur, v, no_repeat_ngram_size)
+                nb = banned_ngram_mask(hist, cur, v, no_repeat_ngram_size)
                 if nb is not None:  # None when Lmax < ngram size
                     mask = mask | nb
             cmax, carg = lm_head_greedy(logits.hidden, logits.emb, mask)
@@ -87,7 +92,7 @@ def greedy_decode(
                 -jnp.inf, logprobs,
             )
             if no_repeat_ngram_size:
-                logprobs = ban_repeated_ngrams(logprobs, s.seqs, cur,
+                logprobs = ban_repeated_ngrams(logprobs, hist, cur,
                                                no_repeat_ngram_size)
             tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
         tok = jnp.where(s.finished, pad_token_id, tok)
@@ -150,7 +155,13 @@ def greedy_decode(
                 return cond(st) & (st.cur_len < _limit)
         else:
             cond_cap = cond
-        s = jax.lax.while_loop(cond_cap, body, s)
+        # cur_len <= cap inside this stage (cond_cap), so the ngram ban can
+        # scan only the first cap history columns (MMDX_NGRAM_SEG=0 for A/B)
+        import os as _os
+        seg_len = min(cap, lmax) if _os.environ.get(
+            "MMDX_NGRAM_SEG", "1") != "0" else lmax
+        s = jax.lax.while_loop(
+            cond_cap, functools.partial(body, seg_len=seg_len), s)
         if cap < lmax:
             if flat:
                 s = s._replace(cache=_resize(s.cache, caps[idx + 1]))
