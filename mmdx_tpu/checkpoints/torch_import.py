@@ -63,19 +63,20 @@ def _bn(sd: Mapping[str, np.ndarray], prefix: str):
 RESNET50_STAGES = (3, 4, 6, 3)
 
 
-def import_image_encoder(sd: Mapping[str, Any]) -> dict:
-    sd = to_numpy_tree(sd)
-    params: dict[str, Any] = {}
-    stats: dict[str, Any] = {}
-    backbone_p: dict[str, Any] = {"conv_stem": {"kernel": _conv(sd["backbone.0.weight"])}}
+def _import_resnet_backbone(
+    sd: Mapping[str, np.ndarray], stem_conv: str, stem_bn: str, layer_key
+) -> tuple[dict, dict]:
+    """Shared ResNet-50 graph walk. ``layer_key(stage) -> key prefix`` adapts
+    between the reference encoder's Sequential numbering (``backbone.{4+s}``)
+    and raw torchvision's named children (``layer{s+1}``)."""
+    backbone_p: dict[str, Any] = {"conv_stem": {"kernel": _conv(sd[f"{stem_conv}.weight"])}}
     backbone_s: dict[str, Any] = {}
-    backbone_p["bn_stem"], backbone_s["bn_stem"] = _bn(sd, "backbone.1")
+    backbone_p["bn_stem"], backbone_s["bn_stem"] = _bn(sd, stem_bn)
 
     for stage, n_blocks in enumerate(RESNET50_STAGES):
-        seq = 4 + stage  # position of layer{stage+1} in the torch Sequential
         for block in range(n_blocks):
             name = f"layer{stage + 1}_block{block}"
-            t = f"backbone.{seq}.{block}"
+            t = f"{layer_key(stage)}.{block}"
             bp: dict[str, Any] = {}
             bs: dict[str, Any] = {}
             for i in (1, 2, 3):
@@ -86,9 +87,17 @@ def import_image_encoder(sd: Mapping[str, Any]) -> dict:
                 bp["downsample_bn"], bs["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
             backbone_p[name] = bp
             backbone_s[name] = bs
+    return backbone_p, backbone_s
 
-    params["backbone"] = backbone_p
-    stats["backbone"] = backbone_s
+
+def import_image_encoder(sd: Mapping[str, Any]) -> dict:
+    sd = to_numpy_tree(sd)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    # reference encoder wraps the backbone in nn.Sequential: conv1->0, bn1->1,
+    # layer{1..4}->{4..7} (training_pipeline.py:165-170)
+    params["backbone"], stats["backbone"] = _import_resnet_backbone(
+        sd, "backbone.0", "backbone.1", lambda s: f"backbone.{4 + s}")
     params["proj"] = {"kernel": _dense(sd["proj.weight"]), "bias": sd["proj.bias"]}
     if "classifier.weight" in sd:
         params["classifier"] = {
@@ -96,6 +105,22 @@ def import_image_encoder(sd: Mapping[str, Any]) -> dict:
             "bias": sd["classifier.bias"],
         }
     return {"params": params, "batch_stats": stats}
+
+
+def import_torchvision_resnet50(sd: Mapping[str, Any]) -> dict:
+    """RAW torchvision ``resnet50`` state_dict (the ImageNet1K-V2 checkpoint
+    the reference starts training from, training_pipeline.py:176-197) ->
+    backbone-only ``{params, batch_stats}`` subtrees.
+
+    No ``proj``/``classifier`` here: the reference initializes those fresh on
+    top of the pretrained trunk (its fc is dropped, ``children[:-1]``
+    training_pipeline.py:165-170); callers graft these subtrees into a fresh
+    bundle (checkpoints/pretrained.py).
+    """
+    sd = to_numpy_tree(sd)
+    p, s = _import_resnet_backbone(sd, "conv1", "bn1",
+                                   lambda st: f"layer{st + 1}")
+    return {"params": p, "batch_stats": s}
 
 
 # ---------------------------------------------------------------------------

@@ -22,12 +22,18 @@ pytree with leading dim N (reordered by beam gather each step).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from mmdx_tpu.config import GenerationConfig
+
+# Segment-capped ngram-ban window scans (read ONCE at import: the jit cache is
+# keyed only on static args, so a trace-time env read would silently ignore
+# in-process toggles; restart the process — or reimport — to A/B).
+_NGRAM_SEG = os.environ.get("MMDX_NGRAM_SEG", "1") != "0"
 from mmdx_tpu.decode.ngram import banned_ngram_mask
 
 NEG = jnp.float32(-1e9)
@@ -539,10 +545,8 @@ def beam_search(
             cond_cap = cond
         # inside this stage cur_len <= cap (cond_cap), so the ngram ban only
         # ever needs the first cap history columns — pass it statically
-        # (MMDX_NGRAM_SEG=0 reverts to full-history scans for A/B)
-        import os as _os
-        seg_len = min(cap, lmax) if _os.environ.get(
-            "MMDX_NGRAM_SEG", "1") != "0" else lmax
+        # (MMDX_NGRAM_SEG=0 at process start reverts to full-history scans)
+        seg_len = min(cap, lmax) if _NGRAM_SEG else lmax
         s = jax.lax.while_loop(cond_cap, functools.partial(body, seg_len=seg_len), s)
         if cap < lmax:
             grow = nb * (caps[idx + 1] - cap)

@@ -4,12 +4,17 @@ mode when beam quality isn't needed."""
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from mmdx_tpu.decode.ngram import ban_repeated_ngrams, banned_ngram_mask
+
+# Read ONCE at import (jit caches are keyed only on static args — a trace-time
+# env read would silently ignore in-process toggles). See beam_search._NGRAM_SEG.
+_NGRAM_SEG = os.environ.get("MMDX_NGRAM_SEG", "1") != "0"
 
 
 class GreedyState(NamedTuple):
@@ -156,10 +161,9 @@ def greedy_decode(
         else:
             cond_cap = cond
         # cur_len <= cap inside this stage (cond_cap), so the ngram ban can
-        # scan only the first cap history columns (MMDX_NGRAM_SEG=0 for A/B)
-        import os as _os
-        seg_len = min(cap, lmax) if _os.environ.get(
-            "MMDX_NGRAM_SEG", "1") != "0" else lmax
+        # scan only the first cap history columns (MMDX_NGRAM_SEG=0 at
+        # process start reverts for A/B)
+        seg_len = min(cap, lmax) if _NGRAM_SEG else lmax
         s = jax.lax.while_loop(
             cond_cap, functools.partial(body, seg_len=seg_len), s)
         if cap < lmax:
