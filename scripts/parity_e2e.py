@@ -79,6 +79,10 @@ class TorchFusion(torch.nn.Module):
 
     def __init__(self):
         super().__init__()
+        # the attribute surface the reference's bundle writer reads via
+        # getattr (training_pipeline.py:520-551,686-691)
+        self.d_img, self.d_txt, self.d_fuse_hidden = 1024, 512, 1024
+        self.n_disease, self.n_cond_tokens, self.n_cond = 13, 4, 4
         self.fusion_mlp = torch.nn.Sequential(
             torch.nn.Linear(1536, 1024), torch.nn.GELU(),
             torch.nn.Dropout(0.1), torch.nn.LayerNorm(1024))
@@ -149,30 +153,17 @@ def main() -> int:
     log("torch stack built (full dims)")
 
     from mmdx_tpu.config import DISEASES
+    from torch_oracles.reference_writer import save_reference_model_bundle
 
-    cfg = {
-        "fusion": {"d_img": 1024, "d_txt": 512, "d_fuse_hidden": 1024,
-                   "n_disease": 13, "n_cond_tokens": 4, "decoder_hidden": 512},
-        "report_head": {"hf_model_name": "t5-small"},
-        "text_encoder": {"hf_model_name": "bert-base-uncased", "d_txt": 512,
-                         "pooling": "masked_mean", "max_len": 96},
-        "image_encoder": {"backbone": "resnet50", "d_img": 1024,
-                          "img_size": 224,
-                          "normalize": {"mean": IMAGENET_MEAN,
-                                        "std": IMAGENET_STD}},
-        "artifacts": {"class_names": list(DISEASES), "thresholds": [0.5] * 13},
-    }
-    bundle_pt = out_dir / "model_bundle.pt"
-    torch.save({
-        "cfg": cfg,
-        "fusion_state": fus_m.state_dict(),
-        "image_state": img_m.state_dict(),
-        "text_state": txt_m.state_dict(),
-        "t5_tokenizer_name": "t5-small",
-        "bert_tokenizer_name": "bert-base-uncased",
-        "version": 7,
-    }, bundle_pt)
-    log(f"reference-format bundle saved: {bundle_pt}")
+    # the bundle is written by the reference's exact publishing flow
+    # (getattr-driven cfg + atomic .pt.tmp replace, training_pipeline.py:
+    # 682-720,773-797), not by our exporter — so this certificate also covers
+    # the genuine on-disk format end to end
+    bundle_pt = save_reference_model_bundle(
+        fus_m, img_m, txt_m, out_dir, registry_version=7,
+        hf_model_name="t5-small",
+        artifacts={"class_names": list(DISEASES), "thresholds": [0.5] * 13})
+    log(f"reference-format bundle saved (reference writer flow): {bundle_pt}")
 
     from mmdx_tpu.pipelines.inference_pipeline import get_model_bundle
     from mmdx_tpu.runtime.engine import InferenceEngine

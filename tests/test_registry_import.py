@@ -145,3 +145,123 @@ def test_registry_dir_missing_towers(registry_dir, tmp_path):
     torch.save({}, incomplete / "fusion_model.pt")
     with pytest.raises(Exception):
         bundle_from_torch_registry_dir(incomplete)
+
+
+# ---------------------------------------------------------------------------
+# model_bundle.pt written by the REFERENCE's own publishing flow
+# (torch_oracles/reference_writer.py replicates training_pipeline.py:682-797:
+# getattr-driven configuration, atomic .pt.tmp replace, timestamped copy) —
+# consumed through bundle_from_torch / the serving loader, covering the cfg
+# quirk surface (getattr defaults, n_cond sourcing, missing-key fallbacks).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def reference_written_bundle(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from transformers import BertConfig, BertModel, T5Config, T5ForConditionalGeneration
+
+    from torch_oracles.reference_writer import save_reference_model_bundle
+    from torch_oracles.resnet_torch import TorchImageEncoder
+
+    torch.manual_seed(3)
+
+    class TorchText(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = BertModel(BertConfig())
+            self.proj = torch.nn.Linear(768, 512)
+            self.classifier = torch.nn.Linear(512, 13)
+
+    class TorchFusion(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # the reference model's attribute surface its writer getattrs
+            # (training_pipeline.py:520-551)
+            self.d_img, self.d_txt, self.d_fuse_hidden = 1024, 512, 1024
+            self.n_disease, self.n_cond_tokens, self.n_cond = 13, 4, 4
+            self.fusion_mlp = torch.nn.Sequential(
+                torch.nn.Linear(1536, 1024), torch.nn.GELU(),
+                torch.nn.Dropout(0.1), torch.nn.LayerNorm(1024))
+            self.disease_head = torch.nn.Linear(1024, 13)
+            self.cond_proj = torch.nn.Sequential(
+                torch.nn.Linear(1024, 512 * 4), torch.nn.GELU())
+            self.report_model = T5ForConditionalGeneration(
+                T5Config(decoder_start_token_id=0))
+
+    d = tmp_path_factory.mktemp("ref_bundle")
+    img, txt, fus = TorchImageEncoder(), TorchText(), TorchFusion()
+    path = save_reference_model_bundle(
+        fus, img, txt, d, registry_version=12, hf_model_name="t5-small",
+        artifacts={"class_names": ["c%d" % i for i in range(13)],
+                   "thresholds": [0.45] * 13})
+    return d, path, img, txt, fus
+
+
+def test_reference_written_bundle_roundtrip(reference_written_bundle):
+    from mmdx_tpu.checkpoints.bundle import bundle_from_torch
+
+    d, path, img, txt, fus = reference_written_bundle
+    # the reference writes atomically + a timestamped history copy
+    assert path.name == "model_bundle.pt" and not list(d.glob("*.pt.tmp"))
+    assert any(p.name.startswith("model_bundle_") for p in d.glob("*.pt"))
+
+    mb = bundle_from_torch(path)
+    # registry version carried through (NOT the serving path's hardcoded 999,
+    # views.py:256 — a documented reference bug we fix)
+    assert mb.version == 12
+    assert mb.class_names == ["c%d" % i for i in range(13)]
+    assert mb.thresholds == [0.45] * 13
+    cfgj = mb.config
+    assert (cfgj.fusion.d_img, cfgj.fusion.d_txt) == (1024, 512)
+    assert cfgj.fusion.n_cond_tokens == 4  # sourced from the n_cond attr
+    assert cfgj.report.d_model == 512      # decoder_hidden from T5 config
+    assert cfgj.text.max_len == 96
+
+    # weights land exactly (spot checks across all three towers)
+    p = mb.variables["params"]
+    np.testing.assert_array_equal(
+        np.asarray(p["fusion"]["disease_head"]["kernel"]),
+        fus.disease_head.weight.detach().numpy().T)
+    np.testing.assert_array_equal(
+        np.asarray(p["text_encoder"]["bert"]["layer7"]["attn_v"]["kernel"]),
+        txt.encoder.state_dict()["encoder.layer.7.attention.self.value.weight"]
+        .numpy().T)
+    np.testing.assert_array_equal(
+        np.asarray(p["image_encoder"]["backbone"]["conv_stem"]["kernel"]),
+        np.transpose(img.state_dict()["backbone.0.weight"].numpy(),
+                     (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(p["fusion"]["report_model"]["shared"]["embedding"]),
+        fus.report_model.state_dict()["shared.weight"].numpy())
+
+
+def test_reference_cfg_quirk_fallbacks(reference_written_bundle, tmp_path):
+    """A cfg whose getattrs resolved to None / whose keys are missing loads
+    with the serving-path fallbacks (views.py:207-213: d_txt->512 — NOT the
+    registry path's buggy 1024, inference_pipeline.py:74)."""
+    from mmdx_tpu.checkpoints.bundle import bundle_from_torch
+    from mmdx_tpu.config import DiagnosisConfig
+
+    d, path, img, txt, fus = reference_written_bundle
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+
+    # simulate the reference writing a cfg off a model missing the attrs:
+    # getattr(..., None) everywhere -> drop the keys entirely
+    cfg = {k: dict(v) if isinstance(v, dict) else v
+           for k, v in blob["cfg"].items()}
+    del cfg["fusion"]["d_txt"]
+    del cfg["fusion"]["n_cond_tokens"]
+    cfg["artifacts"] = {}
+    rebuilt = DiagnosisConfig.from_reference_json(cfg)
+    assert rebuilt.fusion.d_txt == 512
+    assert rebuilt.fusion.n_cond_tokens == 4
+    assert list(rebuilt.class_names)[0] == "No Finding"
+
+    # a bundle missing a required key is rejected with the key named
+    bad = dict(blob)
+    del bad["text_state"]
+    p2 = tmp_path / "bad.pt"
+    torch.save(bad, p2)
+    with pytest.raises(ValueError, match="text_state"):
+        bundle_from_torch(p2)
