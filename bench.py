@@ -233,10 +233,16 @@ def main():
     e2e = None
     if os.environ.get("MMDX_BENCH_GEN", "1") != "0":
         rng_g = np.random.default_rng(1)
+        # Beam-4 batch ceiling (measured round 5, fixed-180 on-chip): B=64 is
+        # optimal — 226.3 reports/s at B=64 vs 218.7 at B=128 vs 202.5 at
+        # B=256; per-step cost grows linearly past N=512 flat rows (3.25 ->
+        # 7.02 ms/step for N=512 -> 1024), i.e. the chip is compute-saturated
+        # at N=512 (the round-4 trace shows 100% busy there), so more batch
+        # only adds latency. gen_max_batch stays 64 for beam.
         gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "64"))
-        # greedy keeps scaling past the beam-optimal batch (measured
-        # fixed-180: 569/890 at B=64/128, 806 at B=256, 879 at B=512 —
-        # still +9% at 512) — report the high-batch greedy tier too
+        # greedy (N rows == B, 4x lighter) keeps scaling past the
+        # beam-optimal batch (measured fixed-180: 569/890 at B=64/128, 806 at
+        # B=256, 879 at B=512 — still +9% at 512) — report that tier too
         gb_max = int(os.environ.get("MMDX_BENCH_GEN_BATCH_MAX", "512"))
 
         def make_z(n):
