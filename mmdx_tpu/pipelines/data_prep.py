@@ -103,11 +103,34 @@ def rule_based_disease_labeler(report_text: str) -> list[int]:
     return vec
 
 
+# report-text keyword -> symptom phrase, scanned case-insensitively on word
+# boundaries (reference _infer_hints capability, data_prep/helper.py:36-45:
+# "very light hinting from report text")
+_HINT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"\b(?:fever|febrile|pyrexi)", "fever"),
+    (r"\b(?:cough|sputum)", "cough"),
+    (r"\b(?:pleur|chest pain)", "pleuritic chest pain"),
+    (r"\b(?:dyspn|shortness of breath|\bsob\b)", "shortness of breath"),
+    (r"\b(?:edema|effusion|orthopnea)", "leg swelling"),
+)
+
+
+def infer_symptom_hints(report_text: str | None) -> set[str]:
+    """Symptoms the report text itself mentions, so the synthesized patient
+    details stay consistent with the findings (reference helper.py:36-45)."""
+    import re
+
+    t = (report_text or "").lower()
+    return {hint for pat, hint in _HINT_PATTERNS if re.search(pat, t)}
+
+
 def synthesize_patient_details(
-    disease_vector: Sequence[int], rng: random.Random
+    disease_vector: Sequence[int], rng: random.Random,
+    report_text: str | None = None,
 ) -> str:
     """Free-text patient details with disease-aware symptoms (reference
-    create_patient_details_column capability, raw_data_pre_preparation.py:114-167)."""
+    create_patient_details_column capability, raw_data_pre_preparation.py:114-167),
+    seeded with symptoms hinted by the report text when one is given."""
     age = rng.randint(18, 90)
     sex = rng.choice(["male", "female"])
     view = rng.choice(["PA", "AP", "lateral"])
@@ -117,14 +140,18 @@ def synthesize_patient_details(
     for risk, p in (("hypertension", 0.3), ("diabetes", 0.2), ("copd", 0.15)):
         if rng.random() < p:
             parts.append(risk)
+    hints = sorted(infer_symptom_hints(report_text))
     pool: list[str] = []
     for i, bit in enumerate(disease_vector):
         if bit:
-            pool.extend(SYMPTOMS_MAP.get(DISEASES[i], []))
-    if not pool:
+            pool.extend(s for s in SYMPTOMS_MAP.get(DISEASES[i], [])
+                        if s not in hints)
+    if not pool and not hints:
         pool = SYMPTOMS_MAP["No Finding"]
-    k = min(len(pool), rng.randint(1, 3))
-    parts.extend(rng.sample(pool, k))
+    parts.extend(hints)  # report-grounded symptoms always included
+    k = min(len(pool), max(0, rng.randint(1, 3) - len(hints)))
+    if k:
+        parts.extend(rng.sample(pool, k))
     return " , ".join(parts)
 
 
@@ -158,7 +185,7 @@ def prepare_raw_dataset(
     for ex in examples:
         report = f"{ex.findings.strip()} {ex.impression.strip()}".strip()
         vec = labeler(report)
-        details = synthesize_patient_details(vec, rng)
+        details = synthesize_patient_details(vec, rng, report_text=report)
         digest = hashlib.sha256(ex.image_bytes).hexdigest()[:14]
         key = f"{image_prefix}{digest[:8]}-{digest[8:14]}.jpg"
         store.put(key, ex.image_bytes)

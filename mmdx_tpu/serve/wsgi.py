@@ -53,7 +53,14 @@ class DiagnosisApp:
         self.queue_depth = queue_depth
         self._batcher = None
         self._lock = __import__("threading").Lock()
-        self._static_dir = Path(__file__).resolve().parent / "frontend"
+        # MMDX_FRONTEND_DIR swaps the bundled single-file page for any built
+        # SPA dist directory — e.g. the reference's React/Vite build
+        # (reference backend/dist, copied there by `npm run build-for-django`,
+        # frontend/package.json) — proving the swap-in claim: same routes,
+        # same JSON, the reference frontend runs against this server unchanged
+        self._static_dir = Path(os.environ.get(
+            "MMDX_FRONTEND_DIR",
+            Path(__file__).resolve().parent / "frontend"))
         # /api/stats/ observability: status counters + a ring of recent
         # predict latencies (the reference has no metrics surface at all;
         # its registry metadata numbers are hardcoded examples, reference

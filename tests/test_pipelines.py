@@ -46,6 +46,29 @@ def test_patient_details_synthesis():
     assert any(s in text for s in ("fever", "cough", "chills", "chest pain"))
 
 
+def test_patient_details_report_hints():
+    """Report-text symptom hinting (reference _infer_hints, helper.py:36-45):
+    symptoms the report mentions always appear in the synthesized details."""
+    import random
+
+    from mmdx_tpu.pipelines.data_prep import infer_symptom_hints
+
+    report = ("Patient is febrile with productive cough. Small right "
+              "pleural effusion noted.")
+    hints = infer_symptom_hints(report)
+    assert hints == {"fever", "cough", "pleuritic chest pain", "leg swelling"}
+    assert infer_symptom_hints(None) == set()
+    assert infer_symptom_hints("unremarkable study") == set()
+
+    vec = [0] * 13
+    vec[10] = 1  # Pleural Effusion
+    for seed in range(5):  # hints survive any sampling outcome
+        text = synthesize_patient_details(vec, random.Random(seed),
+                                          report_text=report)
+        for h in hints:
+            assert h in text, (seed, h, text)
+
+
 def test_metrics():
     y = np.array([[1, 0], [0, 1], [1, 0]], np.float32)
     perfect = np.array([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]], np.float32)
