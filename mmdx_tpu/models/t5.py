@@ -461,6 +461,22 @@ class T5(nn.Module):
             )
         return self.lm_head(hidden)
 
+    def _lm_logits_step(self, hidden):
+        """Single-position lm head for decode steps: [N,1,D] -> [N,V].
+
+        Same contraction (and f32 accumulation) as ``_lm_logits(...)[:, 0]``,
+        but the length-1 axis is dropped BEFORE the einsum: slicing after it
+        made XLA relayout the full f32 [N, V] logits (a ~52 us/step
+        transposed copy at the serving shape, round-5 trace)."""
+        cfg = self.config
+        if cfg.tie_word_embeddings:
+            h = hidden[:, 0] * (cfg.d_model**-0.5)
+            return jnp.einsum(
+                "bd,vd->bv", h, self.shared.embedding,
+                preferred_element_type=jnp.float32,
+            )
+        return self.lm_head(hidden[:, 0])
+
     def decode(self, decoder_input_ids, encoder_hidden, encoder_mask):
         """Teacher-forced decode -> logits [B, L, vocab].
 
@@ -581,7 +597,7 @@ class T5(nn.Module):
             return LazyLogits(
                 hidden[:, 0] * (cfg.d_model**-0.5), self.shared.embedding
             ), new_cache
-        return self._lm_logits(hidden)[:, 0], new_cache
+        return self._lm_logits_step(hidden), new_cache
 
     def decode_step_beam(self, token_ids, pos, cache, anc, static_kv,
                          self_bias_full, encoder_mask):
@@ -634,7 +650,7 @@ class T5(nn.Module):
             return LazyLogits(
                 hidden[:, 0] * (cfg.d_model**-0.5), self.shared.embedding
             ), new_cache
-        return self._lm_logits(hidden)[:, 0], new_cache
+        return self._lm_logits_step(hidden), new_cache
 
     def __call__(self, input_ids, attention_mask, decoder_input_ids):
         enc = self.encode(input_ids, attention_mask)
