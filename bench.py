@@ -238,7 +238,9 @@ def main():
         # B=256; per-step cost grows linearly past N=512 flat rows (3.25 ->
         # 7.02 ms/step for N=512 -> 1024), i.e. the chip is compute-saturated
         # at N=512 (the round-4 trace shows 100% busy there), so more batch
-        # only adds latency. gen_max_batch stays 64 for beam.
+        # only adds latency. gen_max_batch stays 64 for beam. (With round
+        # 5's chunked-step-logits relayout fix, B=64 fixed-steps measures
+        # 239.8 reports/s.)
         gb = int(os.environ.get("MMDX_BENCH_GEN_BATCH", "64"))
         # greedy (N rows == B, 4x lighter) keeps scaling past the
         # beam-optimal batch (measured fixed-180: 569/890 at B=64/128, 806 at

@@ -158,6 +158,15 @@ class ReportDecoderConfig:
     # mathematically (not bitwise) the dense chain's L, so fast/turbo only;
     # takes effect only for tied embeddings and lane-aligned vocabs.
     use_fused_lm_head: bool = False
+    # Emit decode-step logits pre-chunked as [N, V/128, 128] (tied embeddings,
+    # lane-aligned vocab only): the beam candidate chain consumes logits in
+    # that chunk layout, and producing it at the lm-head einsum removes an
+    # XLA layout-assignment artifact — the flat [N, V] f32 logits were
+    # relayouted {1,0}->{0,1}->{2,1,0} around the reshape, a no-op round trip
+    # costing ~98 us/step at serving shape (round-5 HLO dump + trace). Values
+    # are the same contraction; only the logsumexp's reduce shape changes
+    # (ulp-level), so fast/turbo beam only — parity mode keeps flat logits.
+    chunked_step_logits: bool = False
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,13 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     """
     from mmdx_tpu.ops.pallas_lm_head import CHUNK, LazyLogits, lm_head_stats
 
+    if getattr(logits, "ndim", 2) == 3:
+        # producer-chunked [N, C, 128] logits (config.chunked_step_logits):
+        # the chunk layout is born at the lm-head einsum, so no [N, V]
+        # reshape exists for XLA to relayout (a no-op {1,0}->{0,1}->{2,1,0}
+        # copy round trip, ~98 us/step at serving shape; round-5 HLO dump)
+        return _chunked_candidate_topk(logits, beam_scores, banned, mask_eos,
+                                       eos_token_id, k, b, nb)
     n, v = logits.shape
     if isinstance(logits, LazyLogits):
         if v % CHUNK == 0 and v >= 2 * CHUNK:
@@ -243,6 +250,48 @@ def fused_candidate_topk(logits, beam_scores, banned, mask_eos, eos_token_id: in
     adj = adjust(gl, gb, tok_of == eos_token_id,
                  jnp.take(m, rows)[..., None], jnp.take(L, rows)[..., None],
                  jnp.take(s_row, rows)[..., None])
+    vals, gi = topk_small(adj.reshape(b, k * chunk), k)
+    sel_chunk = jnp.take_along_axis(cidx, gi // chunk, axis=1)
+    flat_idx = (sel_chunk // c) * v + (sel_chunk % c) * chunk + gi % chunk
+    return vals, flat_idx
+
+
+def _chunked_candidate_topk(logits3, beam_scores, banned, mask_eos,
+                            eos_token_id: int, k: int, b: int, nb: int):
+    """``fused_candidate_topk`` for producer-chunked logits [N, C, chunk].
+
+    Same two-stage tournament and the same f32 op sequence per element as
+    the rank-2 chunked path; only the logsumexp's reduce SHAPE differs
+    ([N,C,chunk] over two axes vs [N,V] over one — ulp-level, fast/turbo
+    tier only, parity mode keeps flat logits)."""
+    n, c, chunk = logits3.shape
+    v = c * chunk
+    m = jnp.max(logits3, axis=(1, 2)).astype(jnp.float32)
+    L = jnp.log(jnp.sum(jnp.exp(logits3.astype(jnp.float32) - m[:, None, None]),
+                        axis=(1, 2)))
+    s_row = beam_scores.reshape(n)
+    neg = jnp.asarray(-jnp.inf, logits3.dtype)
+    eos3 = (jnp.arange(c)[:, None] * chunk
+            + jnp.arange(chunk)[None, :]) == eos_token_id  # [C, chunk]
+    masked_b = jnp.where(mask_eos & eos3[None], neg, logits3)
+    if banned is not None:
+        masked_b = jnp.where(banned.reshape(n, c, chunk), neg, masked_b)
+    cmax_raw = jnp.max(masked_b, axis=-1)  # [N, C]
+    cmax = ((cmax_raw.astype(jnp.float32) - m[:, None]) - L[:, None]) + s_row[:, None]
+    _, cidx = topk_small(cmax.reshape(b, nb * c), k)  # [B, k] global chunk ids
+    cidx = jnp.sort(cidx, axis=-1)  # ascending == earliest-index tie order
+    rows = (jnp.arange(b, dtype=cidx.dtype)[:, None] * nb) + cidx // c  # [B,k]
+    lin = rows * c + cidx % c
+    gl = jnp.take(logits3.reshape(n * c, chunk), lin, axis=0)  # [B, k, chunk]
+    gb = (jnp.take(banned.reshape(n * c, chunk), lin, axis=0)
+          if banned is not None else None)
+    tok_of = (cidx % c)[..., None] * chunk + jnp.arange(chunk)[None, None, :]
+    a = jnp.where(mask_eos & (tok_of == eos_token_id), -jnp.inf,
+                  gl.astype(jnp.float32))
+    if gb is not None:
+        a = jnp.where(gb, -jnp.inf, a)
+    adj = ((a - jnp.take(m, rows)[..., None])
+           - jnp.take(L, rows)[..., None]) + jnp.take(s_row, rows)[..., None]
     vals, gi = topk_small(adj.reshape(b, k * chunk), k)
     sel_chunk = jnp.take_along_axis(cidx, gi // chunk, axis=1)
     flat_idx = (sel_chunk // c) * v + (sel_chunk % c) * chunk + gi % chunk

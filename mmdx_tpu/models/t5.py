@@ -462,18 +462,22 @@ class T5(nn.Module):
         return self.lm_head(hidden)
 
     def _lm_logits_step(self, hidden):
-        """Single-position lm head for decode steps: [N,1,D] -> [N,V].
-
-        Same contraction (and f32 accumulation) as ``_lm_logits(...)[:, 0]``,
-        but the length-1 axis is dropped BEFORE the einsum: slicing after it
-        made XLA relayout the full f32 [N, V] logits (a ~52 us/step
-        transposed copy at the serving shape, round-5 trace)."""
+        """Single-position lm head for decode steps: [N,1,D] -> [N,V], or
+        [N, V/128, 128] when ``config.chunked_step_logits`` (see config.py —
+        producing the chunk layout at the einsum removes a ~98 us/step XLA
+        relayout round trip at serving shape; same contraction either way)."""
         cfg = self.config
         if cfg.tie_word_embeddings:
             h = hidden[:, 0] * (cfg.d_model**-0.5)
+            emb = self.shared.embedding
+            v, d = emb.shape
+            if cfg.chunked_step_logits and v % 128 == 0 and v >= 256:
+                return jnp.einsum(
+                    "bd,ckd->bck", h, emb.reshape(v // 128, 128, d),
+                    preferred_element_type=jnp.float32,
+                )
             return jnp.einsum(
-                "bd,vd->bv", h, self.shared.embedding,
-                preferred_element_type=jnp.float32,
+                "bd,vd->bv", h, emb, preferred_element_type=jnp.float32,
             )
         return self.lm_head(hidden[:, 0])
 

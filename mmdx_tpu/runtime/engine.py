@@ -130,6 +130,13 @@ class InferenceEngine:
                     use_fused_lm_head=(
                         os.environ.get("MMDX_FUSED_LM_HEAD", "") == "1"
                     ),
+                    # producer-chunked [N, V/128, 128] decode-step logits:
+                    # kills a no-op XLA relayout round trip (~98 us/step)
+                    # in the beam candidate chain (see config.py). Greedy
+                    # gets a flat-logits model variant below.
+                    chunked_step_logits=(
+                        os.environ.get("MMDX_CHUNKED_LOGITS", "1") != "0"
+                    ),
                 ),
             )
         if mode in ("fast", "turbo"):
@@ -386,6 +393,7 @@ class InferenceEngine:
                flat_greedy)
         if key not in self._generate_cache:
             model = self.model
+            rep_over = {}
             if (greedy and self.model_config.report.use_fused_cross_ffn
                     and os.environ.get("MMDX_FUSED_CROSS_FFN", "") != "1"):
                 # fixed-length on-chip A/B: the fused cross-attn+FFN decoder
@@ -395,14 +403,19 @@ class InferenceEngine:
                 # rows. Greedy decodes unfused unless MMDX_FUSED_CROSS_FFN=1
                 # forces the kernel everywhere. Same param tree either way
                 # (the kernel is a compute-path change only).
+                rep_over["use_fused_cross_ffn"] = False
+            if greedy and self.model_config.report.chunked_step_logits:
+                # chunked logits target the beam candidate chain; greedy's
+                # ban/argmax path consumes flat [N, V]
+                rep_over["chunked_step_logits"] = False
+            if rep_over:
                 import dataclasses
 
                 model = MultiModalDiagnosisModel(
                     config=dataclasses.replace(
                         self.model_config,
                         report=dataclasses.replace(
-                            self.model_config.report,
-                            use_fused_cross_ffn=False,
+                            self.model_config.report, **rep_over,
                         ),
                     ),
                     dtype=self.dtype,

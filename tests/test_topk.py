@@ -54,3 +54,36 @@ def test_beam_gather_rows_exact_for_large_ids():
     out = np.asarray(beam_gather_rows(jnp.asarray(ids), jnp.asarray(src)))
     ref = np.take_along_axis(ids, src[:, :, None], axis=1)
     assert np.array_equal(out, ref)
+
+
+def test_chunked_logits_candidate_topk_matches_flat():
+    """Producer-chunked [N, C, 128] logits (config.chunked_step_logits) must
+    select the same candidates with the same scores as the flat [N, V] path
+    — incl. ngram bans, min-length eos masking, ties, and -inf rows."""
+    from mmdx_tpu.decode.beam_search import fused_candidate_topk
+
+    rng = np.random.default_rng(11)
+    b, nb, v = 3, 4, 512  # 128-aligned vocab -> 4 chunks
+    n = b * nb
+    for trial in range(6):
+        x = rng.standard_normal((n, v)).astype(np.float32)
+        for _ in range(12):  # ties across chunk boundaries
+            i = rng.integers(n)
+            a_, b_ = rng.integers(v, size=2)
+            x[i, a_] = x[i, b_]
+        x[1, :100] = -np.inf
+        scores = rng.standard_normal((b, nb)).astype(np.float32)
+        banned = rng.random((n, v)) < 0.1
+        for mask_eos in (False, True):
+            kw = dict(banned=jnp.asarray(banned),
+                      mask_eos=jnp.asarray(mask_eos), eos_token_id=1,
+                      k=2 * nb, b=b, nb=nb)
+            fv, fi = fused_candidate_topk(jnp.asarray(x),
+                                          jnp.asarray(scores), **kw)
+            cv, ci = fused_candidate_topk(
+                jnp.asarray(x.reshape(n, v // 128, 128)),
+                jnp.asarray(scores), **kw)
+            assert np.array_equal(np.asarray(fi), np.asarray(ci)), \
+                (trial, mask_eos)
+            np.testing.assert_allclose(np.asarray(cv), np.asarray(fv),
+                                       rtol=2e-6, atol=2e-6)
