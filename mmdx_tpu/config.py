@@ -167,6 +167,14 @@ class ReportDecoderConfig:
     # are the same contraction; only the logsumexp's reduce shape changes
     # (ulp-level), so fast/turbo beam only — parity mode keeps flat logits.
     chunked_step_logits: bool = False
+    # Beam decode: attend over the OLD cache (own token composed outside the
+    # kernel from softmax partials) so the per-layer cache
+    # dynamic-update-slices move off the serial qkv->attention critical path
+    # — each exposed ~17 us/step of DMA latency in the round-5 trace while
+    # the isolated op costs 0.6 us. Softmax composition is mathematically
+    # identical (ulp-level rounding differences), so fast/turbo beam only.
+    # Requires use_fused_beam_attn; ignored for the int8 KV cache and nb=1.
+    deferred_kv_writes: bool = False
 
 
 @dataclass(frozen=True)

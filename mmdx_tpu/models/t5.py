@@ -247,6 +247,42 @@ class T5Attention(nn.Module):
             ).astype(self.dtype)
             return self.o(ctx.reshape(n, 1, hd)), new_cache
 
+        if (self.config.deferred_kv_writes and self.config.use_fused_beam_attn
+                and nb >= 2):
+            # Deferred-write path: attend over the OLD cache (the caller's
+            # mask kills the own column) and compose this step's own token
+            # outside the kernel from softmax partials — the cache write
+            # below then has a full step of slack instead of sitting on the
+            # qkv->attention critical path (see config.deferred_kv_writes).
+            from mmdx_tpu.ops.pallas_beam_attn import (
+                beam_decode_attention_partial,
+            )
+
+            acc, m, l = beam_decode_attention_partial(q, cache_kv, mask,
+                                                      bias_k)
+            qh = q.reshape(b, nb, h, d)
+            kh = k_new.reshape(b, nb, h, d)
+            vh = v_new.reshape(b, nb, h, d)
+            s_own = jnp.einsum("bihd,bihd->bih", qh, kh,
+                               preferred_element_type=jnp.float32)
+            # bias at the own column (distance 0; same for every slot j)
+            bias_own = jax.lax.dynamic_slice(
+                bias_k, (0, pos * nb), (h, 1))[None, None, :, 0]  # [1,1,h]
+            s_own = s_own + bias_own
+            m2 = jnp.maximum(m, s_own)
+            ea = jnp.exp(m - m2)  # 0 when the cache was fully masked (m=-1e9)
+            eb = jnp.exp(s_own - m2)
+            num = (acc.reshape(b, nb, h, d) * ea[..., None]
+                   + eb[..., None] * vh.astype(jnp.float32))
+            den = l * ea + eb
+            ctx = (num / den[..., None]).reshape(b, nb, hd).astype(self.dtype)
+            # the write happens AFTER the read — next step's kernel is its
+            # only consumer, giving the DMA a full step of slack
+            cache_kv = jax.lax.dynamic_update_slice_in_dim(
+                cache_kv, jnp.concatenate([k_new, v_new], axis=-1),
+                pos * nb, axis=1)
+            return self.o(ctx.reshape(n, 1, hd)), {"kv": cache_kv}
+
         cache_kv = jax.lax.dynamic_update_slice_in_dim(
             cache_kv, jnp.concatenate([k_new, v_new], axis=-1), pos * nb, axis=1
         )
@@ -634,7 +670,17 @@ class T5(nn.Module):
         anc_c = anc[:, :, :cap]
         if cap > lmax:
             anc_c = jnp.pad(anc_c, ((0, 0), (0, 0), (0, cap - lmax)))
-        own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
+        deferred = (self.config.deferred_kv_writes
+                    and self.config.use_fused_beam_attn
+                    and nb >= 2 and "kvs" not in cache[0])
+        if deferred:
+            # own column DEAD in the cache read: the current token's k/v ride
+            # as a separate kernel-external contribution (see
+            # T5Attention.step_beam deferred path) so the cache write leaves
+            # the critical path
+            own = jnp.full((1, nb, 1), -1, jnp.int32)  # matches no slot
+        else:
+            own = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
         anc_eff = jnp.where(jnp.arange(cap)[None, None, :] == pos, own, anc_c)
         live = anc_eff[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [B,i,C,j]
         mask = jnp.where(live.reshape(b, nb, cap * nb), 0.0, NEG_INF)

@@ -142,6 +142,104 @@ def beam_decode_attention(q, kv, mask, bias, interpret: bool = False):
     return out.reshape(b, nb, hd)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def beam_decode_attention_partial(q, kv, mask, bias, interpret: bool = False):
+    """``beam_decode_attention`` returning UN-normalized softmax partials so
+    the current step's own-token contribution can compose OUTSIDE the kernel:
+
+      acc [B, nb, h*d] f32 = sum_k exp(s_k - m) . v_k   (over CACHE rows)
+      m   [B, nb, h]   f32 = max_k s_k
+      l   [B, nb, h]   f32 = sum_k exp(s_k - m)
+
+    with s = q_h . k_h + bias + mask. Full attention including the current
+    token is then  ctx = (acc*e^(m-m') + e^(s_own-m') v_new) / (l*e^(m-m') +
+    e^(s_own-m')),  m' = max(m, s_own).
+
+    Why: reading the OLD cache here lets the step's 6 per-layer cache
+    dynamic-update-slices move OFF the serial qkv->attention critical path
+    (each exposed ~17 us/step of DMA latency in the round-5 trace while the
+    isolated op costs 0.6 us). The caller masks the own column to -inf
+    (every masked column contributes exp(-1e9-m) == 0 exactly in f32, so a
+    fully-masked first step yields acc=0, l=0 and the composition reduces to
+    ctx = v_new). nb >= 2 only (the greedy nb=1 2D form keeps in-kernel
+    writes).
+    """
+    b, nb, hd2 = kv.shape[0], q.shape[1], kv.shape[2]
+    hd = hd2 // 2
+    _, kk, _ = kv.shape
+    h = bias.shape[0]
+    d = hd // h
+    assert h * d == hd, (h, d, hd)
+    assert nb >= 2, "partial variant is for beam (nb>=2)"
+
+    def kernel(q_ref, kv_ref, mask_ref, bias_ref, acc_ref, ml_ref):
+        gb = q_ref.shape[0]
+        rq, rk = gb * nb, gb * kk
+        q_all = q_ref[...].reshape(rq, hd)
+        kv_all = kv_ref[...].reshape(rk, 2 * hd)
+        k_all = kv_all[:, :hd]
+        v_all = kv_all[:, hd:]
+        if gb > 1:
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // nb
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // kk
+            bd = jnp.where(row_g == col_g, 0.0, NEG_INF)
+            m_msk = bd + jnp.tile(mask_ref[...].reshape(rq, kk), (1, gb))
+        else:
+            m_msk = mask_ref[...].reshape(rq, kk)
+        cols = []
+        for hi in range(h):
+            qh = q_all[:, hi * d:(hi + 1) * d]
+            kh = k_all[:, hi * d:(hi + 1) * d]
+            vh = v_all[:, hi * d:(hi + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + jnp.tile(bias_ref[hi:hi + 1, :], (1, rk // kk)) + m_msk
+            mr = jnp.max(s, axis=-1, keepdims=True)  # [rq, 1]
+            e = jnp.exp(s - mr)
+            lr = jnp.sum(e, axis=-1, keepdims=True)  # [rq, 1]
+            acc = jax.lax.dot_general(
+                e.astype(q_ref.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rq, d] f32
+            acc_ref[:, :, hi * d:(hi + 1) * d] = acc.reshape(gb, nb, d)
+            cols.append(mr)
+            cols.append(lr)
+        # ml layout: [gb, nb, 2h] with column 2*hi = m_h, 2*hi+1 = l_h
+        ml = jnp.concatenate(cols, axis=-1)  # [rq, 2h]
+        ml_ref[...] = ml.reshape(gb, nb, 2 * h)
+
+    gb = _pick_gb(b, kk, hd, nb=nb)
+    vmem_mb = _FORCE_VMEM_MB or 48
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    acc, ml = pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, kk, 2 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, nb, kk), lambda i: (i, 0, 0)),
+            full((h, kk)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, nb, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, nb, 2 * h), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nb, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 2 * h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, kv, mask, bias)
+    m = ml[..., 0::2]
+    l = ml[..., 1::2]
+    return acc, m, l
+
+
 def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2, nb: int = 4) -> int:
     # target gb*nb ~ 8 query rows per dot (the MXU-shaped tile the on-chip
     # sweep preferred: gb=2 at nb=4); greedy's nb=1 therefore packs 8 samples

@@ -137,6 +137,12 @@ class InferenceEngine:
                     chunked_step_logits=(
                         os.environ.get("MMDX_CHUNKED_LOGITS", "1") != "0"
                     ),
+                    # deferred KV-cache writes (beam): own token composes
+                    # outside the attention kernel so the 6 per-layer cache
+                    # updates leave the critical path (see config.py).
+                    deferred_kv_writes=(
+                        os.environ.get("MMDX_DEFER_KV", "1") != "0"
+                    ),
                 ),
             )
         if mode in ("fast", "turbo"):
