@@ -154,10 +154,45 @@ class T5Attention(nn.Module):
         hidden_tok: [B,1,D]; cache_{k,v}: [B,heads,Lmax,d_kv] (updated at pos);
         bias_row: [1,heads,1,Lmax] additive bias+causal mask for query at pos.
         Returns (out [B,1,D], cache_k, cache_v).
+
+        With ``config.deferred_kv_writes`` the attention reads the OLD cache
+        and the current token rides as one appended score column (exact full
+        softmax — no composition approximation), so the two cache updates
+        move off the serial qkv->attention critical path: their only consumer
+        is the NEXT step (see the beam variant's rationale in step_beam).
         """
         q = self._split(self.q(hidden_tok))  # [B,h,1,d]
         k_new = self._split(self.k(hidden_tok))
         v_new = self._split(self.v(hidden_tok))
+        if self.config.deferred_kv_writes:
+            lcap = cache_k.shape[2]
+            col = jnp.arange(lcap)[None, None, None, :]
+            # own position column comes from k_new — kill its stale cache row
+            bias_hist = jnp.where(col == pos, NEG_INF, bias_row)
+            s_hist = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, cache_k,
+                preferred_element_type=jnp.float32) + bias_hist
+            bias_own = jax.lax.dynamic_slice(
+                bias_row, (0, 0, 0, pos),
+                (1, bias_row.shape[1], 1, 1))  # distance-0 bias
+            s_own = jnp.einsum(
+                "bhqd,bhqd->bhq", q, k_new,
+                preferred_element_type=jnp.float32)[..., None] + bias_own
+            s = jnp.concatenate([s_hist, s_own], axis=-1)  # [B,h,1,L+1]
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(self.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", p[..., :lcap], cache_v,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bhqk,bhkd->bhqd", p[..., lcap:], v_new,
+                preferred_element_type=jnp.float32,
+            )
+            out = self._merge(ctx.astype(self.dtype))
+            cache_k = jax.lax.dynamic_update_slice_in_dim(
+                cache_k, k_new, pos, axis=2)
+            cache_v = jax.lax.dynamic_update_slice_in_dim(
+                cache_v, v_new, pos, axis=2)
+            return self.o(out), cache_k, cache_v
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new, pos, axis=2)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new, pos, axis=2)
         out = self._merge(self.attend(q, cache_k, cache_v, bias_row))

@@ -414,6 +414,12 @@ class InferenceEngine:
                 # chunked logits target the beam candidate chain; greedy's
                 # ban/argmax path consumes flat [N, V]
                 rep_over["chunked_step_logits"] = False
+            if greedy and self.model_config.report.deferred_kv_writes:
+                # deferred writes are a measured LOSS for greedy (316 vs
+                # 432.8 reports/s fixed-180 at B=64: the appended own-score
+                # column breaks XLA's fused attend chain), while beam's
+                # Pallas-partial variant wins (+6.1%) — beam only
+                rep_over["deferred_kv_writes"] = False
             if rep_over:
                 import dataclasses
 

@@ -296,3 +296,41 @@ def test_turbo_engine_greedy_routes_flat(monkeypatch):
     eng2.generate_reports(zi2, zt2, gen, greedy=True)
     keys2 = [k for k in eng2._generate_cache if k[2]]
     assert keys2 and not any(k[4] for k in keys2), keys2
+
+
+def test_greedy_deferred_kv_writes_token_parity(setup):
+    """Greedy with deferred KV writes (attend over the old cache + the own
+    token as an appended score column — exact full softmax) must produce the
+    same tokens as the standard write-then-attend step."""
+    from mmdx_tpu.decode.greedy import greedy_decode
+
+    cfg, variables = setup
+    gen = dict(max_new_tokens=12, min_new_tokens=3, no_repeat_ngram_size=3,
+               eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+    cache_s, step_s, B, lmax = _greedy_setup(cfg, variables, None)
+    base = np.asarray(greedy_decode(
+        step_s, cache_s, batch=B, vocab_size=cfg.vocab_size, **gen))
+
+    cfg_d = dataclasses.replace(cfg, deferred_kv_writes=True)
+    cache_d, step_d, _, _ = _greedy_setup(cfg_d, variables, None)
+    deferred = np.asarray(greedy_decode(
+        step_d, cache_d, batch=B, vocab_size=cfg.vocab_size, **gen))
+    np.testing.assert_array_equal(deferred, base)
+
+    # cache contents written identically (one decode_step probe)
+    model = T5(config=cfg_d)
+    tok = jnp.asarray([[3], [9], [4]], jnp.int32)
+    cond = jnp.zeros((B, 4, cfg.d_model), jnp.float32)
+    c0, static_kv = model.apply(variables, B, lmax, cond, None,
+                                method=T5.init_cache)
+    bias = model.apply(variables, lmax, method=T5.decode_self_bias)
+    enc_mask = jnp.ones((B, 4), jnp.int32)
+    _, c_def = model.apply(variables, tok, 0, c0, static_kv, bias, enc_mask,
+                           method=T5.decode_step)
+    model_s = T5(config=cfg)
+    _, c_std = model_s.apply(variables, tok, 0, c0, static_kv, bias, enc_mask,
+                             method=T5.decode_step)
+    for a, b in zip(__import__("jax").tree.leaves(c_def),
+                    __import__("jax").tree.leaves(c_std)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
