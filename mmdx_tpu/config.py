@@ -175,6 +175,13 @@ class ReportDecoderConfig:
     # identical (ulp-level rounding differences), so fast/turbo beam only.
     # Requires use_fused_beam_attn; ignored for the int8 KV cache and nb=1.
     deferred_kv_writes: bool = False
+    # Emit chunked decode-step logits in bf16 instead of f32 (the MXU still
+    # accumulates the lm-head contraction in f32; only the materialized
+    # [N, C, 128] tensor rounds to bf16, halving its write + two reads in
+    # the candidate chain). Selection runs on bf16-rounded logits — in-tier
+    # noise for fast/turbo whose towers already compute in bf16; parity mode
+    # keeps f32.
+    step_logits_bf16: bool = False
 
 
 @dataclass(frozen=True)

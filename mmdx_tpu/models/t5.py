@@ -543,9 +543,11 @@ class T5(nn.Module):
             emb = self.shared.embedding
             v, d = emb.shape
             if cfg.chunked_step_logits and v % 128 == 0 and v >= 256:
+                out_t = (jnp.bfloat16 if cfg.step_logits_bf16
+                         else jnp.float32)
                 return jnp.einsum(
                     "bd,ckd->bck", h, emb.reshape(v // 128, 128, d),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=out_t,
                 )
             return jnp.einsum(
                 "bd,vd->bv", h, emb, preferred_element_type=jnp.float32,

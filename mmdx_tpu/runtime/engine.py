@@ -143,6 +143,12 @@ class InferenceEngine:
                     deferred_kv_writes=(
                         os.environ.get("MMDX_DEFER_KV", "1") != "0"
                     ),
+                    # bf16 chunked step logits: halves the candidate chain's
+                    # [N, V] materialization traffic; selection noise is
+                    # in-tier for bf16-tower modes (see config.py)
+                    step_logits_bf16=(
+                        os.environ.get("MMDX_LOGITS_BF16", "1") != "0"
+                    ),
                 ),
             )
         if mode in ("fast", "turbo"):

@@ -56,10 +56,16 @@ def test_beam_gather_rows_exact_for_large_ids():
     assert np.array_equal(out, ref)
 
 
-def test_chunked_logits_candidate_topk_matches_flat():
+import pytest
+
+
+@pytest.mark.parametrize("ldtype", [jnp.float32, jnp.bfloat16])
+def test_chunked_logits_candidate_topk_matches_flat(ldtype):
     """Producer-chunked [N, C, 128] logits (config.chunked_step_logits) must
     select the same candidates with the same scores as the flat [N, V] path
-    — incl. ngram bans, min-length eos masking, ties, and -inf rows."""
+    — incl. ngram bans, min-length eos masking, ties, and -inf rows. Runs in
+    f32 and bf16 (config.step_logits_bf16): both paths see the SAME logits
+    dtype, so selection must agree exactly."""
     from mmdx_tpu.decode.beam_search import fused_candidate_topk
 
     rng = np.random.default_rng(11)
@@ -74,15 +80,14 @@ def test_chunked_logits_candidate_topk_matches_flat():
         x[1, :100] = -np.inf
         scores = rng.standard_normal((b, nb)).astype(np.float32)
         banned = rng.random((n, v)) < 0.1
+        xj = jnp.asarray(x, ldtype)
         for mask_eos in (False, True):
             kw = dict(banned=jnp.asarray(banned),
                       mask_eos=jnp.asarray(mask_eos), eos_token_id=1,
                       k=2 * nb, b=b, nb=nb)
-            fv, fi = fused_candidate_topk(jnp.asarray(x),
-                                          jnp.asarray(scores), **kw)
+            fv, fi = fused_candidate_topk(xj, jnp.asarray(scores), **kw)
             cv, ci = fused_candidate_topk(
-                jnp.asarray(x.reshape(n, v // 128, 128)),
-                jnp.asarray(scores), **kw)
+                xj.reshape(n, v // 128, 128), jnp.asarray(scores), **kw)
             assert np.array_equal(np.asarray(fi), np.asarray(ci)), \
                 (trial, mask_eos)
             np.testing.assert_allclose(np.asarray(cv), np.asarray(fv),
