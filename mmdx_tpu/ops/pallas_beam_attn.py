@@ -210,7 +210,11 @@ def beam_decode_attention_partial(q, kv, mask, bias, interpret: bool = False):
         ml = jnp.concatenate(cols, axis=-1)  # [rq, 2h]
         ml_ref[...] = ml.reshape(gb, nb, 2 * h)
 
-    gb = _pick_gb(b, kk, hd, nb=nb)
+    # the partial kernel prefers LARGER sample packing than the in-kernel-
+    # write variant: on-chip sweep at serving shape (kk=728) measured 239.1 /
+    # 248.9 / 254-260 reports/s at gb=2/4/8 (gb=16 flat vs 8) — the extra
+    # f32 acc/ml output DMA amortizes over more rows
+    gb = _pick_gb(b, kk, hd, nb=nb, prefer_rows=32)
     vmem_mb = _FORCE_VMEM_MB or 48
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     acc, ml = pl.pallas_call(
@@ -240,12 +244,14 @@ def beam_decode_attention_partial(q, kv, mask, bias, interpret: bool = False):
     return acc, m, l
 
 
-def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2, nb: int = 4) -> int:
-    # target gb*nb ~ 8 query rows per dot (the MXU-shaped tile the on-chip
-    # sweep preferred: gb=2 at nb=4); greedy's nb=1 therefore packs 8 samples
+def _pick_gb(b: int, kk: int, hd: int, itemsize: int = 2, nb: int = 4,
+             prefer_rows: int = 8) -> int:
+    # target gb*nb ~ prefer_rows query rows per dot. The in-kernel-write
+    # kernel prefers 8 rows (gb=2 at nb=4, on-chip sweep round 3); the
+    # partial variant prefers 32 (gb=8 — see beam_decode_attention_partial).
     if _FORCE_GB:
         return _FORCE_GB
-    first = max(1, 8 // max(nb, 1))
+    first = max(1, prefer_rows // max(nb, 1))
     order = [first] + [g for g in (2, 4, 8, 1) if g != first]
     return next(g for g in order
                 if b % g == 0
