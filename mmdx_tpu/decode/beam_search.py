@@ -266,6 +266,8 @@ def _chunked_candidate_topk(logits3, beam_scores, banned, mask_eos,
     tier only, parity mode keeps flat logits)."""
     n, c, chunk = logits3.shape
     v = c * chunk
+    if banned is not None and banned.ndim == 2:
+        banned = banned.reshape(n, c, chunk)
     m = jnp.max(logits3, axis=(1, 2)).astype(jnp.float32)
     L = jnp.log(jnp.sum(jnp.exp(logits3.astype(jnp.float32) - m[:, None, None]),
                         axis=(1, 2)))
@@ -445,7 +447,10 @@ def beam_search(
         banned = (
             banned_ngram_mask(
                 jax.lax.slice_in_dim(s.seqs, 0, seg_len, axis=2).reshape(n, seg_len),
-                cur, v, no_repeat_ngram_size)
+                cur, v, no_repeat_ngram_size,
+                # chunked-logits steps consume the mask in its native
+                # [N, V/128, 128] tiles — skip the [N, V] flatten round trip
+                chunked=(getattr(logits, "ndim", 2) == 3))
             if no_repeat_ngram_size else None
         )
         top_scores, top_idx = fused_candidate_topk(

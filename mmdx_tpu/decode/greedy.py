@@ -88,6 +88,29 @@ def greedy_decode(
             best = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [B]
             tok = best * CHUNK + jnp.take_along_axis(
                 carg, best[:, None], axis=1)[:, 0]
+        elif getattr(logits, "ndim", 2) == 3:
+            # producer-chunked [N, C, 128] logits (config.chunked_step_logits):
+            # masked chunk max/argmax — argmax(log_softmax(x)) == argmax(x),
+            # ties resolve earliest-chunk then earliest-in-chunk == the dense
+            # earliest-index order. No [N, V] f32 tensor (the dense chain's
+            # eos/ban where-rewrites cost ~200 us/step at B=512, and its
+            # relayout copies another ~106 — round-5 trace).
+            n_, c, ch = logits.shape
+            eos3 = (jnp.arange(c)[:, None] * ch
+                    + jnp.arange(ch)[None, :]) == eos_token_id  # [C, CH]
+            mask3 = jnp.broadcast_to((cur < min_len) & eos3[None], logits.shape)
+            if no_repeat_ngram_size:
+                nb3 = banned_ngram_mask(hist, cur, v, no_repeat_ngram_size,
+                                        chunked=True)
+                if nb3 is not None:
+                    mask3 = mask3 | nb3
+            neg = jnp.asarray(-jnp.inf, logits.dtype)
+            masked = jnp.where(mask3, neg, logits)
+            cmax = jnp.max(masked, axis=-1)  # [N, C]
+            carg = jnp.argmax(masked, axis=-1).astype(jnp.int32)  # [N, C]
+            best = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [N]
+            tok = best * ch + jnp.take_along_axis(
+                carg, best[:, None], axis=1)[:, 0]
         else:
             if isinstance(logits, LazyLogits):
                 logits = logits.materialize()

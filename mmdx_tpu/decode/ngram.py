@@ -33,14 +33,22 @@ def ban_repeated_ngrams(
     return jnp.where(banned, NEG_INF, logprobs)
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_size", "ngram_size"))
+@functools.partial(jax.jit,
+                   static_argnames=("vocab_size", "ngram_size", "chunked"))
 def banned_ngram_mask(
     seqs: jnp.ndarray,  # [N, Lmax]
     cur_len: jnp.ndarray,
     vocab_size: int,
     ngram_size: int = 3,
+    chunked: bool = False,
 ):
     """Bool banned mask [N, V] (True = banned), or None when Lmax < n.
+
+    ``chunked=True`` (valid when 128 divides V) returns the mask in its
+    NATIVE [N, V/128, 128] tile shape instead of flattening — the chunked
+    logits consumers (beam's _chunked_candidate_topk, greedy's chunked
+    argmax) read it in exactly that layout, so the [N,V] round trip never
+    exists.
 
     Split out of ``ban_repeated_ngrams`` so the beam hot loop can consume the
     mask inside a FUSED candidate-selection read instead of materializing a
@@ -92,4 +100,8 @@ def banned_ngram_mask(
     # exactly representable and the > 0.5 threshold is unchanged
     banned = jnp.einsum("nwh,nwl->nhl", a, b,
                         preferred_element_type=jnp.bfloat16)  # [N, Hi, Lo]
+    if chunked:
+        assert lo_size == 128 and hi_size * lo_size == v, (
+            "chunked mask requires 128 | V")
+        return banned > 0.5  # [N, V/128, 128] — the consumers' native tiles
     return banned.reshape(n, hi_size * lo_size)[:, :v] > 0.5

@@ -416,10 +416,9 @@ class InferenceEngine:
                 # forces the kernel everywhere. Same param tree either way
                 # (the kernel is a compute-path change only).
                 rep_over["use_fused_cross_ffn"] = False
-            if greedy and self.model_config.report.chunked_step_logits:
-                # chunked logits target the beam candidate chain; greedy's
-                # ban/argmax path consumes flat [N, V]
-                rep_over["chunked_step_logits"] = False
+            # (chunked_step_logits stays ON for greedy too: its decode loop
+            # consumes [N, C, 128] logits via chunked ban + masked chunk
+            # max/argmax — same relayout-free selection as the beam path)
             if greedy and self.model_config.report.deferred_kv_writes:
                 # deferred writes are a measured LOSS for greedy (316 vs
                 # 432.8 reports/s fixed-180 at B=64: the appended own-score

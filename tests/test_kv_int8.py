@@ -334,3 +334,36 @@ def test_greedy_deferred_kv_writes_token_parity(setup):
     for a, b in zip(__import__("jax").tree.leaves(c_def),
                     __import__("jax").tree.leaves(c_std)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_greedy_chunked_logits_token_parity():
+    """Greedy over producer-chunked [N, C, 128] logits (chunked ban + masked
+    chunk max/argmax) produces the same tokens as the flat [N, V] chain,
+    incl. the no-repeat-ngram ban and min-length eos masking."""
+    from mmdx_tpu.decode.greedy import greedy_decode
+
+    from mmdx_tpu.config import ReportDecoderConfig
+
+    cfg = ReportDecoderConfig(  # 128-aligned vocab -> chunked path activates
+        vocab_size=512, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout=0.0,
+    )
+    model = T5(config=cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 512, (2, 5)))
+    mask = jnp.ones((2, 5), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(1), ids, mask, ids)
+
+    gen = dict(max_new_tokens=14, min_new_tokens=4, no_repeat_ngram_size=2,
+               eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+    cache_f, step_f, B, lmax = _greedy_setup(cfg, variables, None)
+    flat = np.asarray(greedy_decode(
+        step_f, cache_f, batch=B, vocab_size=cfg.vocab_size, **gen))
+
+    cfg_c = dataclasses.replace(cfg, chunked_step_logits=True)
+    cache_c, step_c, _, _ = _greedy_setup(cfg_c, variables, None)
+    chunked = np.asarray(greedy_decode(
+        step_c, cache_c, batch=B, vocab_size=cfg.vocab_size, **gen))
+    np.testing.assert_array_equal(chunked, flat)
