@@ -1,6 +1,7 @@
 """topk_small / topk_chunked vs lax.top_k — values, indices, and tie order."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax import lax
 
 from mmdx_tpu.decode.beam_search import topk_chunked, topk_small
@@ -54,9 +55,6 @@ def test_beam_gather_rows_exact_for_large_ids():
     out = np.asarray(beam_gather_rows(jnp.asarray(ids), jnp.asarray(src)))
     ref = np.take_along_axis(ids, src[:, :, None], axis=1)
     assert np.array_equal(out, ref)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("ldtype", [jnp.float32, jnp.bfloat16])
