@@ -10,11 +10,23 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mmdx_tpu.decode.ngram import ban_repeated_ngrams, banned_ngram_mask
+from mmdx_tpu.decode.ngram import (
+    ban_repeated_ngrams,
+    banned_follower_ids,
+    banned_ngram_mask,
+)
 
 # Read ONCE at import (jit caches are keyed only on static args — a trace-time
 # env read would silently ignore in-process toggles). See beam_search._NGRAM_SEG.
 _NGRAM_SEG = os.environ.get("MMDX_NGRAM_SEG", "1") != "0"
+# Sparse ngram ban in the chunked path (banned follower ids + dense fallback
+# via lax.cond on overflow — exact either way). Measured NET LOSS on v5e-1
+# (greedy fixed-180 same-process A/B: B=512 930.4 vs 1093.5, B=64 466.8 vs
+# 562.5 reports/s): the [N, C, 128, cap] membership compare materializes and
+# the cond blocks the selection fusion, costing far more than the one-hot
+# ban matmul it replaces. Default OFF; MMDX_SPARSE_NGRAM=1 opts in
+# (extraction + parity tests retained in tests/test_ngram.py).
+_SPARSE_NGRAM = os.environ.get("MMDX_SPARSE_NGRAM", "") == "1"
 
 
 class GreedyState(NamedTuple):
@@ -96,21 +108,48 @@ def greedy_decode(
             # eos/ban where-rewrites cost ~200 us/step at B=512, and its
             # relayout copies another ~106 — round-5 trace).
             n_, c, ch = logits.shape
-            eos3 = (jnp.arange(c)[:, None] * ch
-                    + jnp.arange(ch)[None, :]) == eos_token_id  # [C, CH]
-            mask3 = jnp.broadcast_to((cur < min_len) & eos3[None], logits.shape)
-            if no_repeat_ngram_size:
+            tok3 = (jnp.arange(c)[:, None] * ch
+                    + jnp.arange(ch)[None, :])  # [C, CH] token ids
+            minlen3 = jnp.broadcast_to(
+                (cur < min_len) & (tok3 == eos_token_id)[None], logits.shape)
+            neg = jnp.asarray(-jnp.inf, logits.dtype)
+
+            def _pick(mask3):
+                masked = jnp.where(mask3, neg, logits)
+                cmax = jnp.max(masked, axis=-1)  # [N, C]
+                carg = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+                bestc = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [N]
+                return bestc * ch + jnp.take_along_axis(
+                    carg, bestc[:, None], axis=1)[:, 0]
+
+            sparse = (banned_follower_ids(hist, cur,
+                                          ngram_size=no_repeat_ngram_size)
+                      if no_repeat_ngram_size and _SPARSE_NGRAM else None)
+            if sparse is not None:
+                # sparse ban: mask only the (few) banned follower ids; the
+                # dense one-hot-matmul mask compiles as the lax.cond
+                # fallback and runs only on overflow (exactness preserved)
+                ids, overflow = sparse
+
+                def dense_fn(_):
+                    nb3 = banned_ngram_mask(hist, cur, v,
+                                            no_repeat_ngram_size,
+                                            chunked=True)
+                    return _pick(minlen3 | nb3)
+
+                def sparse_fn(_):
+                    ban3 = jnp.any(
+                        tok3[None, :, :, None] == ids[:, None, None, :],
+                        axis=-1)  # ids pad with -1: never matches a token
+                    return _pick(minlen3 | ban3)
+
+                tok = jax.lax.cond(overflow, dense_fn, sparse_fn, 0)
+            elif no_repeat_ngram_size:
                 nb3 = banned_ngram_mask(hist, cur, v, no_repeat_ngram_size,
                                         chunked=True)
-                if nb3 is not None:
-                    mask3 = mask3 | nb3
-            neg = jnp.asarray(-jnp.inf, logits.dtype)
-            masked = jnp.where(mask3, neg, logits)
-            cmax = jnp.max(masked, axis=-1)  # [N, C]
-            carg = jnp.argmax(masked, axis=-1).astype(jnp.int32)  # [N, C]
-            best = jnp.argmax(cmax, axis=-1).astype(jnp.int32)  # [N]
-            tok = best * ch + jnp.take_along_axis(
-                carg, best[:, None], axis=1)[:, 0]
+                tok = _pick(minlen3 | nb3 if nb3 is not None else minlen3)
+            else:
+                tok = _pick(minlen3)
         else:
             if isinstance(logits, LazyLogits):
                 logits = logits.materialize()

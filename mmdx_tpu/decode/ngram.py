@@ -19,6 +19,60 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "ngram_size"))
+def banned_follower_ids(
+    seqs: jnp.ndarray,  # [N, Lmax]
+    cur_len: jnp.ndarray,
+    cap: int = 8,
+    ngram_size: int = 3,
+):
+    """SPARSE form of the ngram ban: the (few) banned follower token ids.
+
+    In practice almost no window matches the current (n-1)-suffix — the ban
+    usually forbids 0-2 tokens — yet the dense mask pays a [N, W, V/128] x
+    [N, W, 128] one-hot matmul plus a [N, V] (or [N, V/128, 128]) mask
+    materialization every step. Here the matched windows' followers are
+    extracted by a ``cap``-pass tournament over the tiny [N, W] match map:
+
+      ids [N, cap] int32   banned follower ids, -1 padding
+      overflow  bool       True iff ANY row matched more than cap windows
+
+    Exactness contract: when ``overflow`` is False, masking tokens in
+    ``ids`` is EXACTLY the dense ban. Callers must fall back to the dense
+    mask when overflow is True (lax.cond — the fallback compiles once and
+    essentially never runs: >cap distinct matches of one suffix within a
+    <=180-token report is pathological).
+    """
+    n = seqs.shape[0]
+    lmax = seqs.shape[1]
+    k = ngram_size - 1
+    if lmax < ngram_size:
+        return None
+
+    suffix_idx = cur_len - k + jnp.arange(k)
+    suffix = jnp.take_along_axis(
+        seqs, jnp.broadcast_to(suffix_idx[None], (n, k)), axis=1)
+    w = lmax - ngram_size + 1
+    win_idx = jnp.arange(w)[:, None] + jnp.arange(k)[None, :]
+    windows = seqs[:, win_idx]  # [N, W, k]
+    followers = seqs[:, jnp.arange(w) + k]  # [N, W]
+    in_range = (jnp.arange(w) + k) < cur_len
+    match = jnp.all(windows == suffix[:, None, :], axis=-1) & in_range[None]
+
+    overflow = jnp.any(jnp.sum(match, axis=-1) > cap)
+    # cap-pass tournament over [N, W]: pick cap matched window positions
+    # (order irrelevant — the consumer only tests membership)
+    score = jnp.where(match, jnp.arange(w, dtype=jnp.int32)[None, :] + 1, 0)
+    ids = []
+    for _ in range(cap):
+        best = jnp.argmax(score, axis=-1)  # [N] earliest-max window
+        val = jnp.take_along_axis(score, best[:, None], axis=1)  # [N, 1]
+        tok = jnp.take_along_axis(followers, best[:, None], axis=1)
+        ids.append(jnp.where(val > 0, tok, -1))
+        score = jnp.where(jnp.arange(w)[None, :] == best[:, None], 0, score)
+    return jnp.concatenate(ids, axis=1), overflow  # [N, cap], scalar
+
+
 @functools.partial(jax.jit, static_argnames=("ngram_size",))
 def ban_repeated_ngrams(
     logprobs: jnp.ndarray,  # [N, V]
